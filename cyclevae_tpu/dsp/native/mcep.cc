@@ -1,0 +1,208 @@
+#include "mcep.h"
+
+#include <cmath>
+#include <cstring>
+
+#include "fft.h"
+
+namespace cvdsp {
+
+std::vector<double> freqt(const std::vector<double>& c, int m2, double alpha) {
+  // Oppenheim frequency-warping recursion (one-sided cepstrum).
+  const int m1 = (int)c.size() - 1;
+  const double b = 1.0 - alpha * alpha;
+  std::vector<double> g(m2 + 1, 0.0), d(m2 + 1, 0.0);
+  for (int i = -m1; i <= 0; ++i) {
+    const double x = c[-i];
+    if (m2 >= 0) {
+      d[0] = g[0];
+      g[0] = x + alpha * d[0];
+    }
+    if (m2 >= 1) {
+      d[1] = g[1];
+      g[1] = b * d[0] + alpha * d[1];
+    }
+    for (int j = 2; j <= m2; ++j) {
+      d[j] = g[j];
+      g[j] = d[j - 1] + alpha * (d[j] - g[j - 1]);
+    }
+  }
+  return g;
+}
+
+std::vector<double> sp2mc(const std::vector<double>& powerspec, int order,
+                          double alpha, int fftl) {
+  // log power spectrum -> real cepstrum -> warped (mel) cepstrum.
+  const int half = fftl / 2;
+  std::vector<cplx> logsp(half + 1);
+  for (int i = 0; i <= half; ++i)
+    logsp[i] = cplx(std::log(std::max(powerspec[i], 1e-300)), 0.0);
+  std::vector<double> c = irfft(logsp, fftl);
+  c[0] /= 2.0;
+  c.resize(half + 1);
+  return freqt(c, order, alpha);
+}
+
+std::vector<double> mc2sp(const std::vector<double>& mc, double alpha, int fftl) {
+  const int half = fftl / 2;
+  std::vector<double> c = freqt(mc, half, -alpha);
+  // symmetric cepstrum -> rfft -> exp
+  std::vector<double> sym(fftl, 0.0);
+  sym[0] = 2.0 * c[0];
+  for (int i = 1; i <= half; ++i) {
+    sym[i] = c[i];
+    if (i < half) sym[fftl - i] = c[i];
+  }
+  std::vector<cplx> spec = rfft(sym);
+  std::vector<double> ps(half + 1);
+  for (int i = 0; i <= half; ++i) ps[i] = std::exp(spec[i].real());
+  return ps;
+}
+
+double mc2e(const std::vector<double>& mc, double alpha, int irlen) {
+  // unwarp cepstrum, cepstrum -> impulse response (c2ir), sum of squares.
+  std::vector<double> c = freqt(mc, irlen - 1, -alpha);
+  std::vector<double> h(irlen, 0.0);
+  h[0] = std::exp(c[0]);
+  const int m = (int)c.size() - 1;
+  for (int n = 1; n < irlen; ++n) {
+    double acc = 0.0;
+    const int upper = n < m ? n : m;
+    for (int k = 1; k <= upper; ++k)
+      acc += ((double)k / (double)n) * c[k] * h[n - k];
+    h[n] = acc;
+  }
+  double e = 0.0;
+  for (int n = 0; n < irlen; ++n) e += h[n] * h[n];
+  return e;
+}
+
+std::vector<double> mc2b(const std::vector<double>& mc, double alpha) {
+  const int m = (int)mc.size() - 1;
+  std::vector<double> b(m + 1);
+  b[m] = mc[m];
+  for (int k = m - 1; k >= 0; --k) b[k] = mc[k] - alpha * b[k + 1];
+  return b;
+}
+
+std::vector<double> b2mc(const std::vector<double>& b, double alpha) {
+  const int m = (int)b.size() - 1;
+  std::vector<double> c(m + 1);
+  c[m] = b[m];
+  for (int k = m - 1; k >= 0; --k) c[k] = b[k] + alpha * b[k + 1];
+  return c;
+}
+
+// ---------------------------------------------------------------------------
+// MLSA digital filter, Pade order 5.
+//
+// H(z) = exp( sum_k b[k] Phi_k(z) ),  Phi_0 = 1,
+//   Phi_1(z) = (1-a^2) z^-1 / (1 - a z^-1),
+//   Phi_k(z) = Phi_1(z) * Atilde(z)^(k-1),  Atilde(z) = (z^-1 - a)/(1 - a z^-1).
+// Realized as exp(b0) * F1 * F2 with F1 = exp(b1 Phi_1),
+// F2 = exp(sum_{k>=2} b_k Phi_k); each exponential approximated by the
+// standard Pade(5) feedback structure: with basic filter B,
+//   u_i[n] = B(u_{i-1})[n] (each tap has its own B state; u_0 = previous
+//   feedback output), y = x + sum_i (+/-) pade_i u_i (feedback),
+//   out = y + sum_i pade_i u_i.
+// ---------------------------------------------------------------------------
+
+static const double kPade5[6] = {1.0,           0.4999391,     0.1107098,
+                                 0.01369984,    0.0005685586,  0.00001834409};
+static const int kPd = 5;
+
+namespace {
+
+// Basic filter for stage 1: v = b1 * Phi_1(u).  State: one allpass pole.
+struct Stage1Basic {
+  double e1 = 0.0;     // Phi_1 output state
+  double x_prev = 0.0; // previous input
+  double step(double u, double b1, double alpha) {
+    const double e1_new = (1.0 - alpha * alpha) * x_prev + alpha * e1;
+    e1 = e1_new;
+    x_prev = u;
+    return b1 * e1_new;
+  }
+};
+
+// Basic filter for stage 2: v = sum_{k=2..m} b[k] e_k(u) with the allpass chain.
+struct Stage2Basic {
+  std::vector<double> e;  // e[k], k = 1..m (index 0 unused)
+  double x_prev = 0.0;
+  void init(int m) { e.assign(m + 1, 0.0); }
+  double step(double u, const std::vector<double>& b, double alpha) {
+    const int m = (int)b.size() - 1;
+    const double aa = 1.0 - alpha * alpha;
+    // e_1[n] = aa * u[n-1] + a * e_1[n-1]
+    // e_k[n] = e_{k-1}[n-1] - a * e_{k-1}[n] + a * e_k[n-1]   (Atilde)
+    std::vector<double> en(m + 1, 0.0);
+    en[1] = aa * x_prev + alpha * e[1];
+    double y = 0.0;
+    for (int k = 2; k <= m; ++k) {
+      en[k] = e[k - 1] - alpha * en[k - 1] + alpha * e[k];
+      y += b[k] * en[k];
+    }
+    e.swap(en);
+    x_prev = u;
+    return y;
+  }
+};
+
+}  // namespace
+
+struct MLSAState {
+  Stage1Basic s1[kPd + 1];
+  Stage2Basic s2[kPd + 1];
+  double u1[kPd + 1] = {0};  // tap outputs, stage 1
+  double u2[kPd + 1] = {0};
+};
+
+MLSADF::MLSADF(int order, double alpha) : order_(order), alpha_(alpha) {
+  d1_.assign(2 * (kPd + 1), 0.0);
+  d2_.assign((kPd + 1) * (order + 3), 0.0);
+  pd1_.assign(kPd + 1, 0.0);
+  pd2_.assign(kPd + 1, 0.0);
+  // stage-2 states live in heap-allocated Stage2Basic, packed into pd vectors:
+  state1_.resize(kPd + 1);
+  state2_.resize(kPd + 1);
+  for (auto& s : state2_) s.init(order);
+}
+
+double MLSADF::filter_stage1(double x, const std::vector<double>& b) {
+  double out = 0.0;
+  double acc = x;
+  for (int i = kPd; i >= 1; --i) {
+    // tap i consumes the previous sample's tap i-1 output
+    const double u = state1_[i].step(pd1_[i - 1], b[1], alpha_);
+    pd1_[i] = u;
+    const double v = kPade5[i] * u;
+    acc += (i & 1) ? v : -v;
+    out += v;
+  }
+  pd1_[0] = acc;
+  out += acc;
+  return out;
+}
+
+double MLSADF::filter_stage2(double x, const std::vector<double>& b) {
+  double out = 0.0;
+  double acc = x;
+  for (int i = kPd; i >= 1; --i) {
+    const double u = state2_[i].step(pd2_[i - 1], b, alpha_);
+    pd2_[i] = u;
+    const double v = kPade5[i] * u;
+    acc += (i & 1) ? v : -v;
+    out += v;
+  }
+  pd2_[0] = acc;
+  out += acc;
+  return out;
+}
+
+double MLSADF::filter(double x, const std::vector<double>& b) {
+  const double y1 = filter_stage1(x, b);
+  const double y2 = filter_stage2(y1, b);
+  return y2 * std::exp(b[0]);
+}
+
+}  // namespace cvdsp

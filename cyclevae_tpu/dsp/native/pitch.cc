@@ -1,0 +1,182 @@
+#include "pitch.h"
+
+#include <algorithm>
+#include <cmath>
+#include <limits>
+
+#include "fft.h"
+
+namespace cvdsp {
+
+namespace {
+
+struct Cand {
+  double f0;     // 0 for unvoiced
+  double merit;  // NCCF peak value (0..1); unvoiced has pseudo-merit
+};
+
+constexpr double kNccfThresh = 0.30;   // min peak to become a candidate
+constexpr double kUnvoicedMerit = 0.42;  // pseudo-merit of the unvoiced state
+constexpr double kOctaveCost = 0.35;   // per-octave transition penalty
+constexpr double kVuvCost = 0.25;      // voiced<->unvoiced transition penalty
+constexpr int kMaxCands = 5;
+
+}  // namespace
+
+PitchResult estimate_f0(const double* x, int n, int fs, double frame_period,
+                        double f0_floor, double f0_ceil) {
+  PitchResult res;
+  const double hop_s = frame_period / 1000.0;
+  const int n_frames = (int)(n / (fs * hop_s)) + 1;
+  const int min_lag = std::max(2, (int)std::floor(fs / f0_ceil));
+  const int max_lag = (int)std::ceil(fs / f0_floor);
+  const int K = max_lag;  // correlation window: one longest period
+  const size_t nfft = next_pow2((size_t)(K + max_lag + 1));
+
+  // prefix sums of x^2 for energy terms
+  std::vector<double> cum2(n + 1, 0.0);
+  for (int i = 0; i < n; ++i) cum2[i + 1] = cum2[i] + x[i] * x[i];
+  auto energy = [&](int a, int b) {  // sum of x^2 over [a, b)
+    a = std::max(a, 0); b = std::min(b, n);
+    return b > a ? cum2[b] - cum2[a] : 0.0;
+  };
+
+  std::vector<std::vector<Cand>> cands(n_frames);
+  std::vector<double> seg(nfft), a_buf(nfft);
+  for (int fidx = 0; fidx < n_frames; ++fidx) {
+    const int c = (int)std::llround(fidx * hop_s * fs) - K / 2;
+    // gather segment [c, c + K + max_lag)
+    std::fill(seg.begin(), seg.end(), 0.0);
+    for (int i = 0; i < K + max_lag && i < (int)nfft; ++i) {
+      const int idx = c + i;
+      seg[i] = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+    }
+    std::fill(a_buf.begin(), a_buf.end(), 0.0);
+    for (int i = 0; i < K; ++i) a_buf[i] = seg[i];
+    // cross-correlation r[L] = sum_{i<K} seg[i] seg[i+L] via FFT
+    auto A = rfft(a_buf);
+    auto B = rfft(seg);
+    std::vector<cplx> C(A.size());
+    for (size_t i = 0; i < A.size(); ++i) C[i] = std::conj(A[i]) * B[i];
+    auto r = irfft(C, nfft);
+
+    const double e0 = energy(c, c + K);
+    std::vector<Cand>& fc = cands[fidx];
+    if (e0 > 1e-12) {
+      // local maxima of nccf over [min_lag, max_lag]
+      double prev = -2, curv = -2;
+      std::vector<Cand> peaks;
+      for (int L = min_lag; L <= max_lag; ++L) {
+        const double eL = energy(c + L, c + L + K);
+        const double nccf = r[L] / std::sqrt(e0 * eL + 1e-12);
+        if (L > min_lag + 1 && curv > prev && curv > nccf && curv > kNccfThresh) {
+          // parabolic refinement around L-1
+          const double denom = prev - 2 * curv + nccf;
+          double delta = 0.0;
+          if (std::fabs(denom) > 1e-12) delta = 0.5 * (prev - nccf) / denom;
+          const double lag = (L - 1) + std::clamp(delta, -0.5, 0.5);
+          peaks.push_back({(double)fs / lag, curv});
+        }
+        prev = curv;
+        curv = nccf;
+      }
+      std::sort(peaks.begin(), peaks.end(),
+                [](const Cand& a, const Cand& b) { return a.merit > b.merit; });
+      if ((int)peaks.size() > kMaxCands - 1) peaks.resize(kMaxCands - 1);
+      fc = peaks;
+    }
+    fc.push_back({0.0, kUnvoicedMerit});  // unvoiced state always available
+  }
+
+  // Viterbi over candidates
+  std::vector<std::vector<double>> cost(n_frames);
+  std::vector<std::vector<int>> back(n_frames);
+  for (int t = 0; t < n_frames; ++t) {
+    const auto& fc = cands[t];
+    cost[t].resize(fc.size());
+    back[t].assign(fc.size(), -1);
+    for (size_t j = 0; j < fc.size(); ++j) {
+      const double local = 1.0 - fc[j].merit;
+      if (t == 0) {
+        cost[t][j] = local;
+        continue;
+      }
+      double best = std::numeric_limits<double>::infinity();
+      int bi = 0;
+      for (size_t i = 0; i < cands[t - 1].size(); ++i) {
+        double trans;
+        const double f_prev = cands[t - 1][i].f0, f_cur = fc[j].f0;
+        if (f_prev > 0 && f_cur > 0)
+          trans = kOctaveCost * std::fabs(std::log2(f_cur / f_prev));
+        else if (f_prev == 0 && f_cur == 0)
+          trans = 0.0;
+        else
+          trans = kVuvCost;
+        const double c_ = cost[t - 1][i] + trans;
+        if (c_ < best) { best = c_; bi = (int)i; }
+      }
+      cost[t][j] = best + local;
+      back[t][j] = bi;
+    }
+  }
+  res.f0.assign(n_frames, 0.0);
+  res.time_axis.resize(n_frames);
+  int j = 0;
+  {
+    double best = std::numeric_limits<double>::infinity();
+    for (size_t i = 0; i < cost[n_frames - 1].size(); ++i)
+      if (cost[n_frames - 1][i] < best) { best = cost[n_frames - 1][i]; j = (int)i; }
+  }
+  for (int t = n_frames - 1; t >= 0; --t) {
+    res.f0[t] = cands[t][j].f0;
+    res.time_axis[t] = t * hop_s;
+    if (t > 0) j = back[t][j];
+  }
+  return res;
+}
+
+std::vector<double> refine_f0(const double* x, int n, int fs,
+                              const std::vector<double>& time_axis,
+                              const std::vector<double>& f0) {
+  // Harmonic spectral-peak refinement: for each voiced frame, search the
+  // windowed-DFT magnitude around k*f0 (k = 1, 2) on a fine grid and take the
+  // magnitude-weighted mean of refined estimates.
+  std::vector<double> out(f0.size(), 0.0);
+  for (size_t t = 0; t < f0.size(); ++t) {
+    const double f = f0[t];
+    if (f <= 0) continue;
+    const int half = (int)(1.5 * fs / f);  // 3 periods window
+    const int c = (int)std::llround(time_axis[t] * fs);
+    const int lo = c - half, hi = c + half;
+    double refined_sum = 0.0, w_sum = 0.0;
+    for (int k = 1; k <= 2; ++k) {
+      const double fk = k * f;
+      if (fk > 0.45 * fs) break;
+      double best_mag = -1.0, best_f = fk;
+      for (int g = -10; g <= 10; ++g) {
+        const double fg = fk * (1.0 + 0.006 * g);
+        double re = 0.0, im = 0.0;
+        const double w0 = 2.0 * M_PI * fg / fs;
+        for (int i = lo; i <= hi; ++i) {
+          if (i < 0 || i >= n) continue;
+          const double win =
+              0.5 - 0.5 * std::cos(2.0 * M_PI * (i - lo) / (double)(hi - lo));
+          re += x[i] * win * std::cos(w0 * i);
+          im -= x[i] * win * std::sin(w0 * i);
+        }
+        const double mag = re * re + im * im;
+        if (mag > best_mag) { best_mag = mag; best_f = fg; }
+      }
+      const double w = std::sqrt(std::max(best_mag, 0.0));
+      refined_sum += (best_f / k) * w;
+      w_sum += w;
+    }
+    double fr = w_sum > 0 ? refined_sum / w_sum : f;
+    // reject absurd refinements
+    if (std::fabs(std::log2(fr / f)) > 0.2) fr = f;
+    out[t] = fr;
+  }
+  return out;
+}
+
+}  // namespace cvdsp

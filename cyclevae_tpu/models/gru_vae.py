@@ -1,0 +1,239 @@
+"""Pure-functional GRU-RNN VAE nets: encoder / decoder with AR feedback.
+
+Functional re-design of the reference's stateful ``GRU_RNN`` module
+(reference: src/nets/gru_vae.py:265-463).  The forward contract is identical —
+``(trj_out, y_last, h_last) = apply(params, x, y_in, h_in)`` so hidden + AR
+state can be carried (detached) across TBPTT segments — but everything is a
+pytree + pure function suitable for jit/grad/vmap/pjit.
+
+Key reference semantics preserved:
+  * frozen input standardization / output un-normalization baked from data
+    stats (train…py:344-347, excluded from optimization :369-372) — represented
+    here directly as (mean, scale) vectors rather than frozen 1x1 convs;
+  * dilated-conv context embedding with receptive field kernel**layers frames
+    (gru_vae.py:36-66), evaluated as a single window matmul;
+  * AR feedback: the GRU input is concat(conv_out[t], y_prev) where y_prev is
+    the model's own previous NORMALIZED output (gru_vae.py:365-399);
+  * encoder log-variance clamp at ln 1e-6 = -13.8155... (gru_vae.py:410-435);
+    Laplace clamp at -7.2543... for the laplace surface;
+  * dropout on conv output and on GRU output BEFORE the projection, so the AR
+    feedback is dropped too (gru_vae.py:354-399).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    dilconv_effective,
+    init_dense,
+    init_dilconv,
+    init_gru_stack,
+    window_gather,
+)
+from ..ops.gru_scan import gru_ar_scan
+
+# ln(1e-6): minimum log-variance lane value (reference gru_vae.py:412)
+LOG_VAR_MIN = -13.815510557964274
+# Laplace log-scale clamp (reference gru_vae.py:417)
+LOG_SCALE_MIN = -7.25432886926211
+
+
+@dataclass(frozen=True)
+class GRURNNConfig:
+    in_dim: int = 54
+    out_dim: int = 50
+    hidden_units: int = 1024
+    hidden_layers: int = 1
+    kernel_size: int = 3
+    dilation_size: int = 2          # number of conv layers; rec field = k**layers
+    do_prob: float = 0.0
+    scale_in: bool = True
+    scale_out: bool = True
+
+    @property
+    def rec_field(self) -> int:
+        return self.kernel_size ** self.dilation_size
+
+    @property
+    def conv_dim(self) -> int:
+        return self.in_dim * self.rec_field
+
+    @property
+    def tot_in_dim(self) -> int:
+        return self.conv_dim + self.out_dim
+
+
+def init_gru_rnn(key, cfg: GRURNNConfig) -> Dict:
+    """Initialize parameters (xavier-uniform weights / zero biases, matching
+    reference ``initialize`` gru_vae.py:21-33). Normalization stats start as
+    identity; bake data stats in with ``set_scale_stats``."""
+    k_conv, k_gru, k_out = jax.random.split(key, 3)
+    params = {
+        "conv": init_dilconv(k_conv, cfg.in_dim, cfg.kernel_size, cfg.dilation_size),
+        "gru": init_gru_stack(k_gru, cfg.tot_in_dim, cfg.hidden_units, cfg.hidden_layers),
+        "out": init_dense(k_out, cfg.hidden_units, cfg.out_dim),
+    }
+    if cfg.scale_in:
+        params["scale_in"] = {
+            "mean": jnp.zeros((cfg.in_dim,)),
+            "scale": jnp.ones((cfg.in_dim,)),
+        }
+    if cfg.scale_out:
+        params["scale_out"] = {
+            "mean": jnp.zeros((cfg.out_dim,)),
+            "scale": jnp.ones((cfg.out_dim,)),
+        }
+    return params
+
+
+def set_scale_stats(params: Dict, mean_in=None, scale_in=None,
+                    mean_out=None, scale_out=None) -> Dict:
+    """Bake frozen normalization stats (reference train…py:344-347)."""
+    params = dict(params)
+    if mean_in is not None:
+        params["scale_in"] = {"mean": jnp.asarray(mean_in), "scale": jnp.asarray(scale_in)}
+    if mean_out is not None:
+        params["scale_out"] = {"mean": jnp.asarray(mean_out), "scale": jnp.asarray(scale_out)}
+    return params
+
+
+def trainable_mask(params: Dict) -> Dict:
+    """Pytree of bools: scale_in/scale_out frozen (reference train…py:369-372)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not any(
+            getattr(p, "key", None) in ("scale_in", "scale_out") for p in path
+        ),
+        params,
+    )
+
+
+def init_hidden(cfg: GRURNNConfig, batch: int) -> jnp.ndarray:
+    return jnp.zeros((cfg.hidden_layers, batch, cfg.hidden_units))
+
+
+def gru_rnn_apply(
+    params: Dict,
+    cfg: GRURNNConfig,
+    x: jnp.ndarray,
+    y_in: jnp.ndarray,
+    h_in: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    do: bool = False,
+    clamp_vae: bool = False,
+    clamp_vae_laplace: bool = False,
+    lat_dim: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward over a (B, T, in_dim) segment.
+
+    Returns (trj_out (B, T, out_dim), y_last (B, out_dim), h_last (L, B, H)).
+    ``y_last`` is in the NORMALIZED domain (pre-scale_out) — it is the value to
+    feed back as ``y_in`` for the next TBPTT segment, exactly the reference's
+    carry contract (train…py:1298-1316).
+    """
+    B, T, _ = x.shape
+    if cfg.scale_in:
+        s = params["scale_in"]
+        x = (x - s["mean"]) / s["scale"]
+
+    # context embedding: one window matmul (see layers.dilconv_apply docstring)
+    w_eff, b_eff = dilconv_effective(params["conv"], cfg.kernel_size)
+    conv_seq = window_gather(x, cfg.rec_field) @ w_eff + b_eff  # (B, T, conv_dim)
+
+    out_mask = None
+    if do and cfg.do_prob > 0.0:
+        assert rng is not None, "dropout requires an rng key"
+        k_conv, k_out = jax.random.split(rng)
+        keep = 1.0 - cfg.do_prob
+        conv_mask = jax.random.bernoulli(k_conv, keep, conv_seq.shape) / keep
+        conv_seq = conv_seq * conv_mask
+        out_mask = (
+            jax.random.bernoulli(k_out, keep, (B, T, cfg.hidden_units)) / keep
+        ).astype(x.dtype)
+
+    if h_in is None:
+        h_in = init_hidden(cfg, B)
+
+    trj, y_last, h_last = gru_ar_scan(
+        params["gru"], params["out"], conv_seq, y_in, h_in, out_mask
+    )
+
+    if cfg.scale_out:
+        s = params["scale_out"]
+        trj_out = trj * s["scale"] + s["mean"]
+    else:
+        trj_out = trj
+        if clamp_vae:
+            trj_out = jnp.concatenate(
+                [trj_out[..., :lat_dim],
+                 jnp.maximum(trj_out[..., lat_dim:], LOG_VAR_MIN)], axis=-1)
+        elif clamp_vae_laplace:
+            trj_out = jnp.concatenate(
+                [trj_out[..., :lat_dim],
+                 jnp.maximum(trj_out[..., lat_dim:], LOG_SCALE_MIN)], axis=-1)
+
+    return trj_out, y_last, h_last
+
+
+# ---------------------------------------------------------------------------
+# Sampling + KL (reference gru_vae.py:69-144)
+# ---------------------------------------------------------------------------
+
+def sampling_vae_batch(key, param: jnp.ndarray, lat_dim: Optional[int] = None) -> jnp.ndarray:
+    """Reparameterized Gaussian draw; param = concat(mu, log_var) on last axis."""
+    if lat_dim is None:
+        lat_dim = param.shape[-1] // 2
+    mu = param[..., :lat_dim]
+    log_var = param[..., lat_dim:]
+    eps = jax.random.normal(key, mu.shape, dtype=param.dtype)
+    return mu + jnp.exp(log_var / 2.0) * eps
+
+
+def sampling_vae_laplace_batch(key, param: jnp.ndarray, lat_dim: Optional[int] = None) -> jnp.ndarray:
+    """Laplace reparameterization by inverse CDF (reference gru_vae.py:101-114)."""
+    if lat_dim is None:
+        lat_dim = param.shape[-1] // 2
+    mu = param[..., :lat_dim]
+    log_scale = param[..., lat_dim:]
+    eps = jax.random.uniform(key, mu.shape, dtype=param.dtype,
+                             minval=-0.4999, maxval=0.5)
+    return mu - jnp.exp(log_scale) * jnp.sign(eps) * jnp.log1p(-2.0 * jnp.abs(eps))
+
+
+def loss_vae(param: jnp.ndarray, lat_dim: Optional[int] = None,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """KL(q(z|x) || N(0, I)) = mean_T 0.5 * sum_D (exp(lv) + mu^2 - lv - 1).
+
+    param: (T, 2D) or (..., T, 2D); mean over the frame axis.  ``mask`` (same
+    leading shape, (…, T)) selects valid frames for padded batches — the
+    reference instead slices ``[:flen]`` dynamically (train…py:1370).
+    """
+    if lat_dim is None:
+        lat_dim = param.shape[-1] // 2
+    mu = param[..., :lat_dim]
+    lv = param[..., lat_dim:]
+    per_frame = 0.5 * jnp.sum(jnp.exp(lv) + mu ** 2 - lv - 1.0, axis=-1)
+    if mask is None:
+        return jnp.mean(per_frame, axis=-1)
+    denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    return jnp.sum(per_frame * mask, axis=-1) / denom
+
+
+def loss_vae_laplace(param: jnp.ndarray, lat_dim: Optional[int] = None,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """KL(Laplace(mu, b) || Laplace(0, 1)) per reference gru_vae.py:130-144."""
+    if lat_dim is None:
+        lat_dim = param.shape[-1] // 2
+    mu = param[..., :lat_dim]
+    log_b = param[..., lat_dim:]
+    mu_abs = jnp.abs(mu)
+    scale = jnp.exp(log_b)
+    per_frame = jnp.sum(-log_b + scale * jnp.exp(-mu_abs / scale) + mu_abs - 1.0, axis=-1)
+    if mask is None:
+        return jnp.mean(per_frame, axis=-1)
+    denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    return jnp.sum(per_frame * mask, axis=-1) / denom

@@ -1,0 +1,64 @@
+"""Loss / metric algebra for the cyclic ELBO.
+
+Mirrors the reference's TWFSEloss semantics (src/nets/gru_vae.py:466-534):
+  * MCD in dB, L2 form: (10/ln10) * sqrt(2 * sum_D (x-y)^2) per frame,
+  * MCD L1 form: (10/ln10) * sqrt(2) * sum_D |x-y| per frame (training uses
+    L2=False, GV=False → L1 mean; train…py:1366-1368),
+  * GV log-RMSE: mean_D sqrt((log var_T(x) - log var_T(y))^2).
+
+All forms are masked so padded frames can be excluded under jit (the reference
+slices ``[:flen]`` dynamically instead — train…py:1366-1371).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# 10 / ln(10) (reference gru_vae.py:493)
+_MCD_K = 10.0 / 2.3025850929940456840179914546844
+_SQRT2 = 1.4142135623730950488016887242097
+
+
+def mcd_constant() -> float:
+    return _MCD_K
+
+
+def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis=-1) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x, axis=axis)
+    denom = jnp.maximum(jnp.sum(mask, axis=axis), 1.0)
+    return jnp.sum(x * mask, axis=axis) / denom
+
+
+def mcd_l1(x: jnp.ndarray, y: jnp.ndarray,
+           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-utterance mean L1-MCD over frames. x, y: (..., T, D); mask (..., T)."""
+    per_frame = _MCD_K * _SQRT2 * jnp.sum(jnp.abs(x - y), axis=-1)
+    return masked_mean(per_frame, mask)
+
+
+def mcd_l2(x: jnp.ndarray, y: jnp.ndarray,
+           mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean and per-frame L2-MCD in dB (evaluation metric form)."""
+    per_frame = _MCD_K * jnp.sqrt(2.0 * jnp.sum((x - y) ** 2, axis=-1))
+    return masked_mean(per_frame, mask), per_frame
+
+
+def masked_var(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Variance over the frame axis with masking; x: (..., T, D), mask (..., T)."""
+    if mask is None:
+        return jnp.var(x, axis=-2)
+    m = mask[..., None]
+    denom = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    mean = jnp.sum(x * m, axis=-2, keepdims=True) / denom[..., None, :]
+    return jnp.sum(((x - mean) ** 2) * m, axis=-2) / denom
+
+
+def gv_log_rmse(x: jnp.ndarray, gv_mean: jnp.ndarray,
+                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """RMSE of log per-utterance variance vs a data GV mean vector
+    (reference train…py:722-727 / gru_vae.py:508)."""
+    var_x = masked_var(x, mask)
+    return jnp.mean(jnp.sqrt((jnp.log(var_x) - jnp.log(gv_mean)) ** 2), axis=-1)

@@ -1,0 +1,195 @@
+"""End-to-end GRU_RNN forward parity vs the reference torch module, plus
+sampling/KL numerics (reference src/nets/gru_vae.py:69-144, 265-463)."""
+
+import sys
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cyclevae_tpu.models import (
+    GRURNNConfig,
+    gru_rnn_apply,
+    init_gru_rnn,
+    loss_vae,
+    sampling_vae_batch,
+    LOG_VAR_MIN,
+)
+from cyclevae_tpu.models.gru_vae import set_scale_stats, init_hidden
+
+
+class TorchGRURNN(torch.nn.Module):
+    """Minimal re-statement of the reference GRU_RNN forward (gru_vae.py:265-455)
+    for the gauss pipeline paths (no dropout, batch mode)."""
+
+    def __init__(self, in_dim, out_dim, hidden_units, hidden_layers,
+                 kernel_size, layers, scale_in, scale_out):
+        super().__init__()
+        self.scale_in_flag = scale_in
+        self.scale_out_flag = scale_out
+        rec = kernel_size ** layers
+        pad = (rec - 1) // 2
+        if scale_in:
+            self.scale_in = torch.nn.Conv1d(in_dim, in_dim, 1)
+        convs = []
+        for i in range(layers):
+            if i > 0:
+                convs.append(torch.nn.Conv1d(
+                    in_dim * kernel_size ** i, in_dim * kernel_size ** (i + 1),
+                    kernel_size, dilation=kernel_size ** i, padding=0))
+            else:
+                convs.append(torch.nn.Conv1d(
+                    in_dim, in_dim * kernel_size, kernel_size, dilation=1, padding=pad))
+        self.conv = torch.nn.ModuleList(convs)
+        self.gru = torch.nn.GRU(in_dim * rec + out_dim, hidden_units,
+                                hidden_layers, batch_first=True)
+        self.out_1 = torch.nn.Conv1d(hidden_units, out_dim, 1)
+        if scale_out:
+            self.scale_out = torch.nn.Conv1d(out_dim, out_dim, 1)
+
+    def forward(self, x, y_in, h_in=None, clamp_vae=False, lat_dim=16):
+        T = x.shape[1]
+        if self.scale_in_flag:
+            x_in = self.scale_in(x.transpose(1, 2))
+        else:
+            x_in = x.transpose(1, 2)
+        for c in self.conv:
+            x_in = c(x_in)
+        x_conv = x_in.transpose(1, 2)
+        if h_in is None:
+            out, h = self.gru(torch.cat((x_conv[:, :1], y_in), 2))
+        else:
+            out, h = self.gru(torch.cat((x_conv[:, :1], y_in), 2), h_in)
+        y_in = self.out_1(out.transpose(1, 2)).transpose(1, 2)
+        trj = y_in
+        for i in range(1, T):
+            out, h = self.gru(torch.cat((x_conv[:, i:i + 1], y_in), 2), h)
+            y_in = self.out_1(out.transpose(1, 2)).transpose(1, 2)
+            trj = torch.cat((trj, y_in), 1)
+        if self.scale_out_flag:
+            trj_out = self.scale_out(trj.transpose(1, 2)).transpose(1, 2)
+        else:
+            trj_out = trj
+            if clamp_vae:
+                trj_out = torch.cat(
+                    (trj_out[:, :, :lat_dim],
+                     torch.clamp(trj_out[:, :, lat_dim:], min=LOG_VAR_MIN)), 2)
+        return trj_out, y_in, h
+
+
+def _port_params(tm: TorchGRURNN, cfg: GRURNNConfig):
+    params = {
+        "conv": {
+            "w": [jnp.asarray(c.weight.detach().numpy()) for c in tm.conv],
+            "b": [jnp.asarray(c.bias.detach().numpy()) for c in tm.conv],
+        },
+        "gru": [
+            {
+                "w_ih": jnp.asarray(getattr(tm.gru, f"weight_ih_l{l}").detach().numpy()),
+                "w_hh": jnp.asarray(getattr(tm.gru, f"weight_hh_l{l}").detach().numpy()),
+                "b_ih": jnp.asarray(getattr(tm.gru, f"bias_ih_l{l}").detach().numpy()),
+                "b_hh": jnp.asarray(getattr(tm.gru, f"bias_hh_l{l}").detach().numpy()),
+            }
+            for l in range(cfg.hidden_layers)
+        ],
+        "out": {
+            "w": jnp.asarray(tm.out_1.weight.detach().numpy()[:, :, 0]),
+            "b": jnp.asarray(tm.out_1.bias.detach().numpy()),
+        },
+    }
+    return params
+
+
+@pytest.mark.parametrize("scale_out,clamp", [(True, False), (False, True)])
+def test_gru_rnn_forward_parity(scale_out, clamp):
+    """Decoder-like (scale_out) and encoder-like (clamp_vae) paths vs torch."""
+    in_dim, out_dim, hidden, B, T, lat = 8, 6, 24, 2, 13, 3
+    cfg = GRURNNConfig(in_dim=in_dim, out_dim=out_dim, hidden_units=hidden,
+                       hidden_layers=1, kernel_size=3, dilation_size=2,
+                       scale_in=True, scale_out=scale_out)
+    torch.manual_seed(3)
+    tm = TorchGRURNN(in_dim, out_dim, hidden, 1, 3, 2, True, scale_out)
+
+    # bake normalization stats into the torch frozen convs the reference way
+    mean_in = np.random.RandomState(0).randn(in_dim).astype(np.float32)
+    std_in = (np.random.RandomState(1).rand(in_dim) + 0.5).astype(np.float32)
+    with torch.no_grad():
+        tm.scale_in.weight.copy_(torch.diag(torch.tensor(1.0 / std_in)).unsqueeze(2))
+        tm.scale_in.bias.copy_(torch.tensor(-mean_in / std_in))
+        if scale_out:
+            mean_out = np.random.RandomState(2).randn(out_dim).astype(np.float32)
+            std_out = (np.random.RandomState(3).rand(out_dim) + 0.5).astype(np.float32)
+            tm.scale_out.weight.copy_(torch.diag(torch.tensor(std_out)).unsqueeze(2))
+            tm.scale_out.bias.copy_(torch.tensor(mean_out))
+
+    params = _port_params(tm, cfg)
+    params = set_scale_stats(params, mean_in=mean_in, scale_in=std_in)
+    if scale_out:
+        params = set_scale_stats(params, mean_out=mean_out, scale_out=std_out)
+
+    x = torch.randn(B, T, in_dim)
+    y0 = torch.zeros(B, 1, out_dim)
+    with torch.no_grad():
+        trj_ref, y_ref, h_ref = tm(x, y0, clamp_vae=clamp, lat_dim=lat)
+
+    trj, y_last, h_last = gru_rnn_apply(
+        params, cfg, jnp.asarray(x.numpy()), jnp.asarray(y0.numpy()[:, 0]),
+        clamp_vae=clamp, lat_dim=lat)
+    np.testing.assert_allclose(np.asarray(trj), trj_ref.numpy(), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_last), y_ref.numpy()[:, 0], atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_last), h_ref.numpy(), atol=3e-5, rtol=1e-4)
+
+
+def test_state_carry_equals_full_sequence():
+    """Splitting a sequence into two segments with (y, h) carry must equal a
+    single full-length forward — the TBPTT carry contract (train…py:1298-1316)."""
+    # kernel_size=1 → receptive field 1, so segmenting introduces no conv
+    # boundary halo and carry must reproduce the full forward EXACTLY.  (With
+    # k>1 the reference pads each segment independently, so segmented != full
+    # there too — that behavior is covered by the torch parity test above.)
+    cfg = GRURNNConfig(in_dim=5, out_dim=4, hidden_units=16, hidden_layers=1,
+                       kernel_size=1, dilation_size=2, scale_in=False, scale_out=False)
+    key = jax.random.PRNGKey(0)
+    params = init_gru_rnn(key, cfg)
+    B, T = 2, 20
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 5))
+    y0 = jnp.zeros((B, 4))
+
+    trj_full, _, _ = gru_rnn_apply(params, cfg, x, y0)
+    t_split = 10
+    trj_a, y_a, h_a = gru_rnn_apply(params, cfg, x[:, :t_split], y0)
+    trj_b, _, _ = gru_rnn_apply(params, cfg, x[:, t_split:], y_a, h_in=h_a)
+    np.testing.assert_allclose(np.asarray(trj_a), np.asarray(trj_full[:, :t_split]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trj_b), np.asarray(trj_full[:, t_split:]),
+                               atol=1e-5)
+
+
+def test_sampling_vae_moments():
+    key = jax.random.PRNGKey(0)
+    mu = jnp.full((4000, 2), 1.5)
+    lv = jnp.full((4000, 2), -1.0)
+    param = jnp.concatenate([mu, lv], axis=-1)
+    z = sampling_vae_batch(key, param[None])[0]
+    assert abs(float(z.mean()) - 1.5) < 0.05
+    assert abs(float(z.std()) - np.exp(-0.5)) < 0.02
+
+
+def test_loss_vae_matches_closed_form_and_torch():
+    rng = np.random.RandomState(0)
+    T, D = 7, 3
+    mu = rng.randn(T, D).astype(np.float32)
+    lv = rng.randn(T, D).astype(np.float32)
+    param = np.concatenate([mu, lv], axis=1)
+    ours = float(loss_vae(jnp.asarray(param), lat_dim=D))
+    tp = torch.tensor(param)
+    ref = torch.mean(0.5 * torch.sum(
+        torch.exp(tp[:, D:]) + tp[:, :D] ** 2 - tp[:, D:] - 1.0, 1)).item()
+    assert abs(ours - ref) < 1e-5
+    # masked version equals slicing
+    mask = np.zeros(T, np.float32); mask[:4] = 1
+    ours_mask = float(loss_vae(jnp.asarray(param), lat_dim=D, mask=jnp.asarray(mask)))
+    ref_slice = float(loss_vae(jnp.asarray(param[:4]), lat_dim=D))
+    assert abs(ours_mask - ref_slice) < 1e-5
