@@ -111,61 +111,42 @@ static const double kPade5[6] = {1.0,           0.4999391,     0.1107098,
                                  0.01369984,    0.0005685586,  0.00001834409};
 static const int kPd = 5;
 
-namespace {
+// NOTE on delays: the Pade tap loop runs in DESCENDING order, so the `u`
+// passed to each stage is the upstream tap's value from the PREVIOUS sample —
+// it already carries the z^-1 of Phi_1.  The stages therefore use `u`
+// directly (adding another internal delay here would square the z^-1 and
+// distort the realized spectrum).
 
-// Basic filter for stage 1: v = b1 * Phi_1(u).  State: one allpass pole.
-struct Stage1Basic {
-  double e1 = 0.0;     // Phi_1 output state
-  double x_prev = 0.0; // previous input
-  double step(double u, double b1, double alpha) {
-    const double e1_new = (1.0 - alpha * alpha) * x_prev + alpha * e1;
-    e1 = e1_new;
-    x_prev = u;
-    return b1 * e1_new;
+double Stage1Basic::step(double u, double b1, double alpha) {
+  const double e1_new = (1.0 - alpha * alpha) * u + alpha * e1;
+  e1 = e1_new;
+  x_prev = u;
+  return b1 * e1_new;
+}
+
+double Stage2Basic::step(double u, const std::vector<double>& b, double alpha) {
+  const int m = (int)b.size() - 1;
+  const double aa = 1.0 - alpha * alpha;
+  // with u = input[n-1]:  e_1[n] = aa * u + a * e_1[n-1]
+  // e_k[n] = e_{k-1}[n-1] - a * e_{k-1}[n] + a * e_k[n-1]   (Atilde chain)
+  std::vector<double> en(m + 1, 0.0);
+  en[1] = aa * u + alpha * e[1];
+  double y = 0.0;
+  for (int k = 2; k <= m; ++k) {
+    en[k] = e[k - 1] - alpha * en[k - 1] + alpha * e[k];
+    y += b[k] * en[k];
   }
-};
-
-// Basic filter for stage 2: v = sum_{k=2..m} b[k] e_k(u) with the allpass chain.
-struct Stage2Basic {
-  std::vector<double> e;  // e[k], k = 1..m (index 0 unused)
-  double x_prev = 0.0;
-  void init(int m) { e.assign(m + 1, 0.0); }
-  double step(double u, const std::vector<double>& b, double alpha) {
-    const int m = (int)b.size() - 1;
-    const double aa = 1.0 - alpha * alpha;
-    // e_1[n] = aa * u[n-1] + a * e_1[n-1]
-    // e_k[n] = e_{k-1}[n-1] - a * e_{k-1}[n] + a * e_k[n-1]   (Atilde)
-    std::vector<double> en(m + 1, 0.0);
-    en[1] = aa * x_prev + alpha * e[1];
-    double y = 0.0;
-    for (int k = 2; k <= m; ++k) {
-      en[k] = e[k - 1] - alpha * en[k - 1] + alpha * e[k];
-      y += b[k] * en[k];
-    }
-    e.swap(en);
-    x_prev = u;
-    return y;
-  }
-};
-
-}  // namespace
-
-struct MLSAState {
-  Stage1Basic s1[kPd + 1];
-  Stage2Basic s2[kPd + 1];
-  double u1[kPd + 1] = {0};  // tap outputs, stage 1
-  double u2[kPd + 1] = {0};
-};
+  e.swap(en);
+  x_prev = u;
+  return y;
+}
 
 MLSADF::MLSADF(int order, double alpha) : order_(order), alpha_(alpha) {
-  d1_.assign(2 * (kPd + 1), 0.0);
-  d2_.assign((kPd + 1) * (order + 3), 0.0);
   pd1_.assign(kPd + 1, 0.0);
   pd2_.assign(kPd + 1, 0.0);
-  // stage-2 states live in heap-allocated Stage2Basic, packed into pd vectors:
   state1_.resize(kPd + 1);
   state2_.resize(kPd + 1);
-  for (auto& s : state2_) s.init(order);
+  for (auto& s : state2_) s.init(order_);
 }
 
 double MLSADF::filter_stage1(double x, const std::vector<double>& b) {

@@ -1,0 +1,319 @@
+#include "vocoder.h"
+
+#include <algorithm>
+#include <cmath>
+#include <random>
+
+#include "fft.h"
+
+namespace cvdsp {
+
+namespace {
+
+constexpr double kApFloor = 0.001;
+constexpr double kApCeil = 0.999;
+constexpr double kBandHz = 3000.0;
+
+// Windowed, DC-removed, energy-normalized power spectrum around `center`.
+// win_half: half window length in samples. Returns fftl/2+1 bins normalized by
+// sum(w^2) (PSD-style, per-sample frequency units).
+std::vector<double> frame_power_spectrum(const double* x, int n, int center,
+                                         int win_half, int fftl) {
+  const int L = 2 * win_half + 1;
+  std::vector<double> buf(fftl, 0.0);
+  double wsum = 0.0, wxsum = 0.0, w2sum = 0.0;
+  std::vector<double> w(L);
+  for (int i = 0; i < L; ++i) {
+    w[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (L - 1));
+    const int idx = center - win_half + i;
+    const double xi = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+    wsum += w[i];
+    wxsum += w[i] * xi;
+    w2sum += w[i] * w[i];
+  }
+  const double dc = wsum > 0 ? wxsum / wsum : 0.0;
+  for (int i = 0; i < L && i < fftl; ++i) {
+    const int idx = center - win_half + i;
+    const double xi = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+    buf[i] = (xi - dc) * w[i];
+  }
+  auto spec = rfft(buf);
+  std::vector<double> ps(fftl / 2 + 1);
+  const double norm = w2sum > 1e-12 ? 1.0 / w2sum : 0.0;
+  for (int i = 0; i <= fftl / 2; ++i) ps[i] = std::norm(spec[i]) * norm;
+  return ps;
+}
+
+}  // namespace
+
+std::vector<double> spectral_envelope(const double* x, int n, int fs,
+                                      const std::vector<double>& time_axis,
+                                      const std::vector<double>& f0, int fftl,
+                                      double default_f0) {
+  const int half = fftl / 2;
+  const int n_frames = (int)f0.size();
+  std::vector<double> out((size_t)n_frames * (half + 1));
+  const double f0_min = 3.0 * fs / (double)fftl;  // adaptive window must fit fftl
+
+  std::vector<double> logps(fftl), lifter(fftl);
+  for (int t = 0; t < n_frames; ++t) {
+    double f = f0[t] > 0 ? f0[t] : default_f0;
+    f = std::max(f, f0_min);
+    const int center = (int)std::llround(time_axis[t] * fs);
+    const int win_half = (int)std::llround(1.5 * fs / f);
+    auto ps = frame_power_spectrum(x, n, center, win_half, fftl);
+    const double floor_val = 1e-12;
+    for (auto& v : ps) v = std::max(v, floor_val);
+
+    // rectangular smoothing of width (2/3) f0 in frequency
+    const double bin_hz = (double)fs / fftl;
+    const double ws = (2.0 / 3.0) * f;
+    const int wbins = std::max(1, (int)std::llround(ws / bin_hz));
+    std::vector<double> smoothed(half + 1);
+    // reflect-padded moving average over (2*wb2+1) bins
+    const int wb2 = wbins / 2;
+    for (int i = 0; i <= half; ++i) {
+      double acc = 0.0;
+      for (int j = -wb2; j <= wb2; ++j) {
+        int k = i + j;
+        if (k < 0) k = -k;
+        if (k > half) k = 2 * half - k;
+        acc += ps[k];
+      }
+      smoothed[i] = acc / (2 * wb2 + 1);
+    }
+
+    // cepstral liftering: sinc smoothing lifter + q1 compensation lifter
+    std::vector<cplx> lsp(half + 1);
+    for (int i = 0; i <= half; ++i)
+      lsp[i] = cplx(std::log(smoothed[i]), 0.0);
+    auto ceps = irfft(lsp, fftl);
+    const double q1 = -0.15, q0 = 1.0 - 2.0 * q1;
+    for (int q = 0; q < fftl; ++q) {
+      const int qq = q <= half ? q : fftl - q;  // symmetric quefrency
+      const double arg = M_PI * f * qq / (double)fs;
+      const double sinc = qq == 0 ? 1.0 : std::sin(arg) / arg;
+      const double comp = q0 + 2.0 * q1 * std::cos(2.0 * M_PI * f * qq / fs);
+      ceps[q] *= sinc * comp;
+    }
+    std::vector<double> cr(ceps.begin(), ceps.end());
+    auto back = rfft(cr);
+    double* row = &out[(size_t)t * (half + 1)];
+    for (int i = 0; i <= half; ++i)
+      row[i] = std::exp(back[i].real());
+  }
+  return out;
+}
+
+int n_coded_aperiodicity(int fs) {
+  // bands at 3k, 6k, ... up to fs/2 - 3k (2 bands at 22.05 kHz, matching the
+  // reference's 2-dim codeap at this rate — feat layout SURVEY.md §1)
+  return std::max(1, (int)((fs / 2.0 - kBandHz) / kBandHz));
+}
+
+std::vector<double> aperiodicity(const double* x, int n, int fs,
+                                 const std::vector<double>& time_axis,
+                                 const std::vector<double>& f0, int fftl) {
+  const int half = fftl / 2;
+  const int n_frames = (int)f0.size();
+  const int n_bands = n_coded_aperiodicity(fs);
+  std::vector<double> out((size_t)n_frames * (half + 1), kApCeil);
+  const double bin_hz = (double)fs / fftl;
+
+  for (int t = 0; t < n_frames; ++t) {
+    double* row = &out[(size_t)t * (half + 1)];
+    const double f = f0[t];
+    if (f <= 0) {
+      for (int i = 0; i <= half; ++i) row[i] = kApCeil;
+      continue;
+    }
+    const int center = (int)std::llround(time_axis[t] * fs);
+    // 4-period window: frequency resolution ~ f0/4, harmonics resolvable
+    const int win_half = std::min((int)std::llround(2.0 * fs / f), fftl / 2 - 1);
+    auto ps = frame_power_spectrum(x, n, center, win_half, fftl);
+
+    // per band: harmonic vs inter-harmonic power density ratio
+    std::vector<double> band_ap(n_bands);
+    for (int b = 0; b < n_bands; ++b) {
+      const double f_lo = b == 0 ? f * 1.5 : kBandHz * b + kBandHz / 2.0;
+      const double f_hi = std::min(kBandHz * (b + 1) + kBandHz / 2.0,
+                                   fs / 2.0 - bin_hz);
+      double harm = 0.0, noise = 0.0;
+      int nh = 0, nn = 0;
+      for (int i = (int)(f_lo / bin_hz); i <= (int)(f_hi / bin_hz) && i <= half; ++i) {
+        const double freq = i * bin_hz;
+        const double frac = freq / f - std::floor(freq / f);
+        const double d = std::min(frac, 1.0 - frac);  // distance to harmonic (cycles)
+        if (d < 0.2) { harm += ps[i]; ++nh; }
+        else if (d > 0.35) { noise += ps[i]; ++nn; }
+      }
+      double ap2;
+      if (nh == 0 || nn == 0) ap2 = kApCeil * kApCeil;
+      else {
+        const double hd = harm / nh, nd = noise / nn;
+        // noise floor occupies the whole band; harmonic peaks only near k*f0.
+        ap2 = nd / std::max(hd, nd + 1e-300);
+      }
+      band_ap[b] = std::sqrt(std::clamp(ap2, kApFloor * kApFloor, kApCeil * kApCeil));
+    }
+    // interpolate band values (centers at 3k*(b+1)) across the full spectrum
+    for (int i = 0; i <= half; ++i) {
+      const double freq = i * bin_hz;
+      const double pos = freq / kBandHz - 1.0;  // band-center index space
+      double v;
+      if (pos <= 0) v = band_ap[0];
+      else if (pos >= n_bands - 1) v = band_ap[n_bands - 1];
+      else {
+        const int b0 = (int)pos;
+        const double w = pos - b0;
+        v = band_ap[b0] * (1 - w) + band_ap[b0 + 1] * w;
+      }
+      row[i] = std::clamp(v, kApFloor, kApCeil);
+    }
+  }
+  return out;
+}
+
+std::vector<double> code_aperiodicity(const std::vector<double>& ap,
+                                      int n_frames, int fs, int fftl) {
+  const int half = fftl / 2;
+  const int n_bands = n_coded_aperiodicity(fs);
+  const double bin_hz = (double)fs / fftl;
+  std::vector<double> coded((size_t)n_frames * n_bands);
+  for (int t = 0; t < n_frames; ++t)
+    for (int b = 0; b < n_bands; ++b) {
+      const int bin = std::min((int)std::llround(kBandHz * (b + 1) / bin_hz), half);
+      coded[(size_t)t * n_bands + b] =
+          20.0 * std::log10(std::clamp(ap[(size_t)t * (half + 1) + bin],
+                                       kApFloor, kApCeil));
+    }
+  return coded;
+}
+
+std::vector<double> decode_aperiodicity(const std::vector<double>& coded,
+                                        int n_frames, int fs, int fftl) {
+  const int half = fftl / 2;
+  const int n_bands = n_coded_aperiodicity(fs);
+  const double bin_hz = (double)fs / fftl;
+  std::vector<double> ap((size_t)n_frames * (half + 1));
+  for (int t = 0; t < n_frames; ++t) {
+    const double* c = &coded[(size_t)t * n_bands];
+    for (int i = 0; i <= half; ++i) {
+      const double pos = i * bin_hz / kBandHz - 1.0;
+      double db;
+      if (pos <= 0) db = c[0];
+      else if (pos >= n_bands - 1) db = c[n_bands - 1];
+      else {
+        const int b0 = (int)pos;
+        const double w = pos - b0;
+        db = c[b0] * (1 - w) + c[b0 + 1] * w;
+      }
+      ap[(size_t)t * (half + 1) + i] =
+          std::clamp(std::pow(10.0, db / 20.0), kApFloor, kApCeil);
+    }
+  }
+  return ap;
+}
+
+namespace {
+
+// Minimum-phase impulse response from a one-sided power spectrum.
+std::vector<double> min_phase_ir(const double* ps, int fftl) {
+  const int half = fftl / 2;
+  std::vector<cplx> logsp(half + 1);
+  for (int i = 0; i <= half; ++i)
+    logsp[i] = cplx(0.5 * std::log(std::max(ps[i], 1e-300)), 0.0);
+  auto c = irfft(logsp, fftl);
+  // fold to minimum-phase cepstrum
+  std::vector<double> cm(fftl, 0.0);
+  cm[0] = c[0];
+  for (int k = 1; k < half; ++k) cm[k] = 2.0 * c[k];
+  cm[half] = c[half];
+  auto spec = rfft(cm);
+  std::vector<cplx> H(half + 1);
+  for (int i = 0; i <= half; ++i) H[i] = std::exp(spec[i]);
+  return irfft(H, fftl);
+}
+
+}  // namespace
+
+std::vector<double> synthesize(const std::vector<double>& f0,
+                               const std::vector<double>& sp,
+                               const std::vector<double>& ap, int n_frames,
+                               int fs, double frame_period, int fftl,
+                               uint64_t seed) {
+  const int half = fftl / 2;
+  const double hop_s = frame_period / 1000.0;
+  const int n_out = (int)std::llround((n_frames - 1) * hop_s * fs) + fftl;
+  std::vector<double> y(n_out, 0.0);
+
+  auto frame_at = [&](double t_s) {
+    double pos = t_s / hop_s;
+    int t0 = (int)pos;
+    if (t0 < 0) t0 = 0;
+    if (t0 > n_frames - 1) t0 = n_frames - 1;
+    return t0;
+  };
+  auto f0_at = [&](double t_s) -> double {
+    const double pos = t_s / hop_s;
+    const int t0 = std::clamp((int)pos, 0, n_frames - 1);
+    const int t1 = std::min(t0 + 1, n_frames - 1);
+    const double w = std::clamp(pos - t0, 0.0, 1.0);
+    const double a = f0[t0], b = f0[t1];
+    if (a <= 0 || b <= 0) return w < 0.5 ? a : b;
+    return a * (1 - w) + b * w;
+  };
+
+  // ---- periodic part: pulses at pitch marks, amplitude sqrt(period) ----
+  std::vector<double> per_ps(half + 1);
+  double t_s = 0.0;
+  const double end_s = (n_frames - 1) * hop_s;
+  while (t_s < end_s) {
+    const double f = f0_at(t_s);
+    if (f <= 0) {
+      t_s += hop_s;  // skip through unvoiced regions
+      continue;
+    }
+    const int fr = frame_at(t_s);
+    const double* sp_row = &sp[(size_t)fr * (half + 1)];
+    const double* ap_row = &ap[(size_t)fr * (half + 1)];
+    for (int i = 0; i <= half; ++i) {
+      const double a = ap_row[i];
+      per_ps[i] = sp_row[i] * std::max(0.0, 1.0 - a * a);
+    }
+    auto ir = min_phase_ir(per_ps.data(), fftl);
+    const double period = fs / f;
+    const double amp = std::sqrt(period);
+    const int p = (int)std::llround(t_s * fs);
+    for (int i = 0; i < fftl && p + i < n_out; ++i) y[p + i] += amp * ir[i];
+    t_s += period / fs;
+  }
+
+  // ---- aperiodic part: per-frame filtered white noise, OLA ----
+  std::mt19937_64 gen(seed);
+  std::normal_distribution<double> nd(0.0, 1.0);
+  const int hop = (int)std::llround(hop_s * fs);
+  std::vector<double> noise_ps(half + 1);
+  for (int t = 0; t < n_frames; ++t) {
+    const double* sp_row = &sp[(size_t)t * (half + 1)];
+    const double* ap_row = &ap[(size_t)t * (half + 1)];
+    for (int i = 0; i <= half; ++i) {
+      const double a = ap_row[i];
+      noise_ps[i] = sp_row[i] * a * a;
+    }
+    auto ir = min_phase_ir(noise_ps.data(), fftl);
+    const int start = (int)std::llround(t * hop_s * fs);
+    // convolve hop-length unit-variance noise with the IR (truncate IR tail)
+    const int ir_len = std::min(fftl, 512);
+    for (int k = 0; k < hop; ++k) {
+      const double e = nd(gen);
+      const int base = start + k;
+      for (int i = 0; i < ir_len && base + i < n_out; ++i)
+        y[base + i] += e * ir[i];
+    }
+  }
+  y.resize((size_t)std::max(0, (int)std::llround((n_frames - 1) * hop_s * fs)) + hop);
+  return y;
+}
+
+}  // namespace cvdsp

@@ -1,0 +1,251 @@
+"""Correctness tests for the native DSP library (C++ via ctypes).
+
+The reference verifies DSP empirically (analysis-synthesis audit wavs,
+SURVEY.md §4); here we pin down the math with synthetic golden checks:
+round-trips, known-F0 signals, and DTW on constructed alignments.
+"""
+
+import numpy as np
+import pytest
+
+from cyclevae_tpu.dsp import dtw, sptk, world
+
+FS = 22050
+FFTL = 1024
+
+
+def sawtooth(f0_hz, dur_s, fs=FS):
+    t = np.arange(int(dur_s * fs)) / fs
+    ph = (t * f0_hz) % 1.0
+    return (2.0 * ph - 1.0) * 1000.0
+
+
+# ---------------------------------------------------------------------------
+# mel-cepstrum ops
+# ---------------------------------------------------------------------------
+
+def test_sp2mc_mc2sp_roundtrip_alpha0_exact():
+    rng = np.random.default_rng(0)
+    # alpha=0 (no warping): order fftl/2 cepstrum round-trips exactly
+    base = np.abs(np.fft.rfft(rng.normal(size=64), FFTL)) + 1.0
+    ps = (base ** 2)[None, :]
+    mc = sptk.sp2mc(ps, FFTL // 2, 0.0)
+    ps_rec = sptk.mc2sp(mc, 0.0, FFTL)
+    np.testing.assert_allclose(ps_rec, ps, rtol=1e-6)
+
+
+def test_sp2mc_mc2sp_roundtrip_warped_close():
+    rng = np.random.default_rng(0)
+    # alpha=0.455: finite-order warped cepstrum is an approximation; a smooth
+    # spectrum at generous order should reconstruct closely in log domain
+    base = np.abs(np.fft.rfft(rng.normal(size=24), FFTL)) + 1.0
+    ps = (base ** 2)[None, :]
+    mc = sptk.sp2mc(ps, 255, 0.455)
+    ps_rec = sptk.mc2sp(mc, 0.455, FFTL)
+    err = np.abs(np.log(ps_rec) - np.log(ps)).mean()
+    assert err < 0.02, err
+
+
+def test_sp2mc_mc2sp_roundtrip_order49_smooths():
+    rng = np.random.default_rng(1)
+    half = FFTL // 2 + 1
+    ps = (np.abs(np.fft.rfft(rng.normal(size=32), FFTL)) + 1.0)[None, :] ** 2
+    mc = sptk.sp2mc(ps, 49, 0.455)
+    assert mc.shape == (1, 50)
+    ps_rec = sptk.mc2sp(mc, 0.455, FFTL)
+    # order-49 warped cepstrum should reconstruct a smooth spectrum close in
+    # log domain (the input is already smooth)
+    err = np.abs(np.log(ps_rec) - np.log(ps)).mean()
+    assert err < 0.3, err
+
+
+def test_freqt_roundtrip():
+    rng = np.random.default_rng(2)
+    c = rng.normal(size=30)
+    # the warped representation needs ~4x the order to capture the tail
+    w = sptk.freqt(c, 120, 0.455)
+    back = sptk.freqt(w, 29, -0.455)
+    np.testing.assert_allclose(back, c, atol=1e-9)
+
+
+def test_freqt_alpha0_identity():
+    c = np.arange(5.0)
+    np.testing.assert_allclose(sptk.freqt(c, 4, 0.0), c)
+
+
+def test_mc2b_b2mc_roundtrip():
+    rng = np.random.default_rng(3)
+    mc = rng.normal(size=(4, 20))
+    b = sptk.mc2b(mc, 0.455)
+    mc_rec = sptk.b2mc(b, 0.455)
+    np.testing.assert_allclose(mc_rec, mc, atol=1e-10)
+
+
+def test_mc2e_flat_spectrum_gain():
+    # mc representing a flat log-spectrum of value g: energy = exp(g)^2
+    for g in (0.0, 1.0):
+        mc = np.zeros((1, 25))
+        mc[0, 0] = g
+        e = sptk.mc2e(mc, alpha=0.455, irlen=256)[0]
+        assert abs(e - np.exp(2 * g)) < 1e-6
+
+
+def test_mlsadf_flat_gain():
+    # b == mc with only c0 set -> pure gain exp(c0)
+    x = np.sin(np.arange(2000) * 0.1)
+    mc = np.zeros((10, 25))
+    mc[:, 0] = 0.7
+    b = sptk.mc2b(mc, 0.455)
+    y = sptk.mlsadf(x, b, 0.455, hop=200)
+    np.testing.assert_allclose(y, x * np.exp(0.7), rtol=1e-6)
+
+
+def test_mlsadf_matches_target_spectrum():
+    """Filter white noise through MLSA with a known mcep; the output spectrum
+    should follow mc2sp(mc) (amplitude ~ sqrt of power ratio)."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=FS)  # 1 s white noise
+    mc = np.zeros((1, 30))
+    mc[0, 0] = 0.3
+    mc[0, 1] = 0.8
+    mc[0, 2] = -0.4
+    b = sptk.mc2b(mc, 0.455)
+    y = sptk.mlsadf(x, np.repeat(b, 10, axis=0), 0.455, hop=len(x) // 10)
+    # compare average periodograms
+    from scipy.signal import welch
+    f, pxx = welch(x, fs=FS, nperseg=FFTL)
+    f, pyy = welch(y[2000:], fs=FS, nperseg=FFTL)
+    ratio_db = 10 * np.log10(pyy / pxx)
+    target = sptk.mc2sp(mc, 0.455, FFTL)[0]
+    # welch bins ~ rfft bins of FFTL
+    tgt_db = 10 * np.log10(target)
+    # ignore edges
+    sel = slice(10, len(f) - 10)
+    err = np.abs(ratio_db[sel] - tgt_db[sel]).mean()
+    assert err < 1.5, err
+
+
+# ---------------------------------------------------------------------------
+# pitch
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("f0_true", [110.0, 220.0, 330.0])
+def test_estimate_f0_on_sawtooth(f0_true):
+    x = sawtooth(f0_true, 0.6)
+    f0, t = world.harvest(x, FS, f0_floor=60.0, f0_ceil=700.0)
+    mid = f0[10:-10]
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.9 * len(mid)
+    med = np.median(voiced)
+    assert abs(med - f0_true) / f0_true < 0.02, med
+
+
+def test_estimate_f0_silence_is_unvoiced():
+    x = np.zeros(FS // 2)
+    f0, _ = world.harvest(x, FS)
+    assert np.all(f0 == 0.0)
+
+
+def test_refine_f0_improves_or_keeps():
+    f0_true = 207.0
+    x = sawtooth(f0_true, 0.6)
+    f0, t = world.harvest(x, FS)
+    f0_r = world.stonemask(x, f0, t, FS)
+    v = (f0 > 0) & (f0_r > 0)
+    err_raw = np.median(np.abs(f0[v] - f0_true))
+    err_ref = np.median(np.abs(f0_r[v] - f0_true))
+    assert err_ref <= err_raw + 0.5
+
+
+# ---------------------------------------------------------------------------
+# envelope / aperiodicity / synthesis
+# ---------------------------------------------------------------------------
+
+def test_envelope_shape_and_positive():
+    x = sawtooth(150.0, 0.4)
+    f0, t = world.harvest(x, FS)
+    sp = world.cheaptrick(x, f0, t, FS, FFTL)
+    assert sp.shape == (len(f0), FFTL // 2 + 1)
+    assert np.all(sp > 0)
+
+
+def test_aperiodicity_voiced_vs_noise():
+    xv = sawtooth(150.0, 0.4)
+    rng = np.random.default_rng(5)
+    xn = rng.normal(size=len(xv)) * 300.0
+    f0v, tv = world.harvest(xv, FS)
+    apv = world.d4c(xv, f0v, tv, FS, FFTL)
+    # fake a voiced track on pure noise to probe the band estimator
+    f0n = np.full_like(f0v, 150.0)
+    apn = world.d4c(xn, f0n, tv, FS, FFTL)
+    v = f0v > 0
+    assert apv[v].mean() < 0.5          # harmonic signal: low aperiodicity
+    assert apn.mean() > 0.8             # noise: high aperiodicity
+
+
+def test_code_decode_aperiodicity_roundtrip():
+    rng = np.random.default_rng(6)
+    n_frames = 7
+    # piecewise-linear ap across frequency is representable by the 2-band code
+    ap = np.clip(rng.uniform(0.05, 0.9, size=(n_frames, 2)), 0.001, 0.999)
+    full = world.decode_aperiodicity(ap_to_coded_roundtrip_input(ap), FS, FFTL)
+    coded = world.code_aperiodicity(full, FS)
+    full2 = world.decode_aperiodicity(coded, FS, FFTL)
+    np.testing.assert_allclose(full2, full, atol=1e-6)
+
+
+def ap_to_coded_roundtrip_input(ap_bands):
+    return 20.0 * np.log10(ap_bands)
+
+
+def test_analysis_synthesis_roundtrip_f0_and_energy():
+    """Synthesize from analysis of a harmonic signal; re-analysis should
+    recover F0, and energy should be in the same ballpark (the reference's
+    stage-1 audit, feature_extract_vc.py:398-402, done numerically)."""
+    f0_true = 160.0
+    x = sawtooth(f0_true, 0.5)
+    f0, t = world.harvest(x, FS)
+    f0 = world.stonemask(x, f0, t, FS)
+    sp = world.cheaptrick(x, f0, t, FS, FFTL)
+    ap = world.d4c(x, f0, t, FS, FFTL)
+    y = world.synthesize(f0, sp, ap, FS, 5.0)
+    assert len(y) >= len(x) - FS // 100
+    f0y, ty = world.harvest(y, FS)
+    vy = f0y[10:-10]
+    vy = vy[vy > 0]
+    assert abs(np.median(vy) - f0_true) / f0_true < 0.03
+    e_ratio = (np.sum(y[:len(x)] ** 2) + 1e-9) / (np.sum(x ** 2) + 1e-9)
+    assert 0.25 < e_ratio < 4.0, e_ratio
+
+
+# ---------------------------------------------------------------------------
+# DTW / MCD
+# ---------------------------------------------------------------------------
+
+def test_calc_mcd_known_value():
+    x = np.zeros((3, 4))
+    y = np.ones((3, 4)) * 0.1
+    mean, per = dtw.calc_mcd(x, y)
+    expected = (10.0 / np.log(10)) * np.sqrt(2 * 4 * 0.01)
+    np.testing.assert_allclose(per, expected, rtol=1e-12)
+    np.testing.assert_allclose(mean, expected, rtol=1e-12)
+
+
+def test_dtw_identity():
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(20, 5))
+    aligned, twf, mean, per = dtw.dtw_org_to_trg(a, a)
+    np.testing.assert_array_equal(twf, np.arange(20))
+    assert mean < 1e-9
+
+
+def test_dtw_recovers_time_stretch():
+    """org = trg with every frame doubled; DTW must map each trg frame to one
+    of its two copies (zero distortion)."""
+    rng = np.random.default_rng(8)
+    trg = rng.normal(size=(15, 5))
+    org = np.repeat(trg, 2, axis=0)
+    aligned, twf, mean, per = dtw.dtw_org_to_trg(org, trg)
+    assert mean < 1e-9
+    np.testing.assert_allclose(aligned, trg, atol=1e-12)
+    assert np.all(np.diff(twf) >= 0)
