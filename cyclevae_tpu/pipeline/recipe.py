@@ -1,0 +1,253 @@
+"""Recipe orchestrator: the reference's egs/one-to-one/run.sh as a typed
+Python driver (stages selected by substring, run.sh:209-638).
+
+Stages:
+  0  data list preparation (train/pair split: first n_train wavs = train,
+     rest = pair set; eval dirs separate — run.sh:222-237)
+  1  feature extraction (train + eval, both speakers)
+  a  speaker F0/power statistics (histograms + suggested bounds)
+  2  per-speaker + joint statistics
+  3  converted excitation
+  4  CycleVAE training
+  5  GV calibration (cvgv)
+  6  decode eval utterances to waveforms
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..utils.config import ExperimentConfig, load_config
+from ..utils.hdf5 import find_files, read_hdf5
+
+
+@dataclass
+class SpeakerConf:
+    """Per-speaker analysis bounds (reference conf/<spk>.f0 / conf/<spk>.pow)."""
+    minf0: float
+    maxf0: float
+    pow_threshold: float
+
+
+# bundled VCC2018 speaker settings (reference egs/one-to-one/conf/)
+DEFAULT_SPEAKERS: Dict[str, SpeakerConf] = {
+    "VCC2SF1": SpeakerConf(130.0, 427.0, -40.0),
+    "VCC2TF1": SpeakerConf(148.0, 458.0, -30.0),
+}
+
+
+@dataclass
+class RecipePaths:
+    wav_root: str                  # contains <spk>/ and eval/<spk>/
+    work: str                      # output root (hdf5/stats/exp)
+    n_train: int = 40              # first N wavs per speaker = train set
+
+    def wavs(self, spk: str, eval_set: bool = False) -> List[str]:
+        d = os.path.join(self.wav_root, "eval", spk) if eval_set else \
+            os.path.join(self.wav_root, spk)
+        return sorted(find_files(d, "*.wav"))
+
+    def h5dir(self, spk: str, eval_set: bool = False) -> str:
+        sub = f"eval_{spk}" if eval_set else spk
+        return os.path.join(self.work, "hdf5", sub)
+
+    def h5s(self, spk: str, eval_set: bool = False) -> List[str]:
+        return sorted(find_files(self.h5dir(spk, eval_set), "*.h5"))
+
+    def stats(self, spk: str) -> str:
+        return os.path.join(self.work, "stats", f"stats_{spk}.h5")
+
+    def stats_jnt(self) -> str:
+        return os.path.join(self.work, "stats", "stats_jnt.h5")
+
+
+def _read_spk_conf(conf_dir: Optional[str], spk: str) -> SpeakerConf:
+    if conf_dir:
+        f0p = os.path.join(conf_dir, f"{spk}.f0")
+        powp = os.path.join(conf_dir, f"{spk}.pow")
+        if os.path.exists(f0p) and os.path.exists(powp):
+            mn, mx = open(f0p).read().split()
+            pw = float(open(powp).read().strip())
+            return SpeakerConf(float(mn), float(mx), pw)
+    return DEFAULT_SPEAKERS.get(spk, SpeakerConf(40.0, 700.0, -20.0))
+
+
+def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
+               conf_dir: Optional[str] = None, n_jobs: int = 8,
+               decode_epoch: Optional[int] = None):
+    spk_src = exp.model.spk_src
+    spk_trg = exp.model.spk_trg
+    speakers = [spk_src, spk_trg]
+    expdir = os.path.join(paths.work, "exp", exp.name())
+    os.makedirs(expdir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %I:%M:%S")
+
+    def split(files):
+        return files[:paths.n_train], files[paths.n_train:]
+
+    if "1" in stages:
+        from .features import extract_features
+        for spk in speakers:
+            sc = _read_spk_conf(conf_dir, spk)
+            for eval_set in (False, True):
+                wavs = paths.wavs(spk, eval_set)
+                if not wavs:
+                    continue
+                wavdir = None if eval_set else os.path.join(
+                    paths.work, "wav_anasyn", spk)
+                n_files, n_frames = extract_features(
+                    wavs, paths.h5dir(spk, eval_set), wavdir, exp.feature,
+                    sc.minf0, sc.maxf0, sc.pow_threshold, n_jobs=n_jobs)
+                assert n_files == len(wavs), (n_files, len(wavs))
+                logging.info("stage 1 %s eval=%s: %d files %d frames",
+                             spk, eval_set, n_files, n_frames)
+
+    if "a" in stages:
+        from .stats import spk_stat
+        for spk in speakers:
+            sugg = spk_stat(paths.h5s(spk), os.path.join(paths.work,
+                                                         "init_spk_stat"), spk)
+            logging.info("stage a %s suggested conf: %s", spk, sugg)
+
+    if "2" in stages:
+        from .stats import calc_stats, calc_stats_joint
+        train_src, _ = split(paths.h5s(spk_src))
+        train_trg, _ = split(paths.h5s(spk_trg))
+        calc_stats(train_src, paths.stats(spk_src), spkr=spk_src)
+        calc_stats(train_trg, paths.stats(spk_trg), spkr=spk_trg)
+        calc_stats_joint(train_src, train_trg, paths.stats_jnt())
+        logging.info("stage 2 done: %s", paths.stats_jnt())
+
+    if "3" in stages:
+        from .stats import extract_cv_excitation
+        # every utterance of each speaker gets converted excitation toward the
+        # partner (train + pair + eval sets; reference run.sh stage 3)
+        for spk, other in ((spk_src, spk_trg), (spk_trg, spk_src)):
+            for eval_set in (False, True):
+                files = paths.h5s(spk, eval_set)
+                if files:
+                    extract_cv_excitation(files, paths.stats(spk),
+                                          paths.stats(other), exp.feature.fs,
+                                          exp.feature.shiftms)
+        logging.info("stage 3 done")
+
+    if "4" in stages:
+        from .train_stage import run_train
+        src_all = paths.h5s(spk_src)
+        trg_all = paths.h5s(spk_trg)
+        train_src, pair_src = split(src_all)
+        train_trg, pair_trg = split(trg_all)
+        n_pair = min(len(train_src), len(train_trg))
+        summary = run_train(
+            exp,
+            feats_src=train_src[:n_pair], feats_src_pair=train_trg[:n_pair],
+            feats_trg=train_trg[:n_pair], feats_trg_pair=train_src[:n_pair],
+            feats_eval_src=paths.h5s(spk_src, True),
+            feats_eval_trg=paths.h5s(spk_trg, True),
+            stats_src=paths.stats(spk_src), stats_trg=paths.stats(spk_trg),
+            stats_jnt=paths.stats_jnt(), expdir=expdir,
+            resume=exp.train.resume)
+        logging.info("stage 4 done: best=%s", summary["best"])
+
+    if "5" in stages or "6" in stages:
+        import jax
+        from ..vi.checkpoint import load_checkpoint
+        from ..vi.train import CycleVAEParams
+        from .decode import Codec
+        from .train_stage import model_config
+        import jax.numpy as jnp
+
+        epoch = decode_epoch
+        if epoch is None:
+            hist = json.load(open(os.path.join(expdir, "history.json")))
+            epoch = hist["best"]["epoch"]
+        ckpt = load_checkpoint(os.path.join(expdir, f"checkpoint-{epoch}.pkl"))
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        codec = Codec(CycleVAEParams(*params), model_config(exp))
+        model_id = f"{exp.name()}_ep{epoch}"
+
+        if "5" in stages:
+            from .decode import calc_cvgv
+            train_src, _ = split(paths.h5s(spk_src))
+            train_trg, _ = split(paths.h5s(spk_trg))
+            out = calc_cvgv(codec, exp, jax.random.PRNGKey(decode_epoch or 0),
+                            train_src, train_trg, paths.stats(spk_src), model_id)
+            logging.info("stage 5 done: %s",
+                         {k: v.mean() for k, v in out.items()})
+
+        if "6" in stages:
+            from .decode import decode_pair
+            sc_src = _read_spk_conf(conf_dir, spk_src)
+            sc_trg = _read_spk_conf(conf_dir, spk_trg)
+            f0stats = {
+                "lf0_mean_src": float(read_hdf5(paths.stats(spk_src), "/lf0_range_mean")),
+                "lf0_std_src": float(read_hdf5(paths.stats(spk_src), "/lf0_range_std")),
+                "lf0_mean_trg": float(read_hdf5(paths.stats(spk_trg), "/lf0_range_mean")),
+                "lf0_std_trg": float(read_hdf5(paths.stats(spk_trg), "/lf0_range_std")),
+            }
+            gv = {
+                "gv_mean_src": read_hdf5(paths.stats(spk_src), "/gv_range_mean")[1:],
+                "gv_mean_trg": read_hdf5(paths.stats(spk_trg), "/gv_range_mean")[1:],
+                "cvgv_mean": read_hdf5(paths.stats(spk_src), f"/cvgv_mean_{model_id}"),
+                "cvgvsrc_mean": read_hdf5(paths.stats(spk_src), f"/cvgvsrc_mean_{model_id}"),
+                "cvgvtrg_mean": read_hdf5(paths.stats(spk_src), f"/cvgvtrg_mean_{model_id}"),
+            }
+            outdir = os.path.join(expdir, f"wav_cv_ep{epoch}")
+            wavs_src = paths.wavs(spk_src, eval_set=True)
+            wavs_trg = paths.wavs(spk_trg, eval_set=True)
+            all_metrics = []
+            key = jax.random.PRNGKey(4242)
+            for ws, wt in zip(wavs_src, wavs_trg):
+                key, k = jax.random.split(key)
+                m = decode_pair(codec, exp, k, ws, wt, outdir, f0stats, gv,
+                                sc_src.minf0, sc_src.maxf0,
+                                sc_trg.minf0, sc_trg.maxf0,
+                                sc_src.pow_threshold, sc_trg.pow_threshold)
+                all_metrics.append(m)
+            agg = {k: float(np.mean([m[k] for m in all_metrics]))
+                   for k in all_metrics[0]}
+            agg_std = {f"{k}_std": float(np.std([m[k] for m in all_metrics]))
+                       for k in all_metrics[0]}
+            agg.update(agg_std)
+            with open(os.path.join(expdir, f"decode_metrics_ep{epoch}.json"),
+                      "w") as f:
+                json.dump(agg, f, indent=2)
+            logging.info("stage 6 done: %s", {k: round(v, 3)
+                                              for k, v in agg.items()})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cyclevae_tpu",
+                                description="TPU-native CycleVAE VC recipe")
+    p.add_argument("--stage", default="123456", help="stages to run (e.g. 1a23456)")
+    p.add_argument("--wav-root", default="/root/reference/egs/one-to-one/wav")
+    p.add_argument("--work", required=True, help="output working directory")
+    p.add_argument("--config", default=None, help="experiment config json")
+    p.add_argument("--conf-dir", default=None, help="dir with <spk>.f0/<spk>.pow")
+    p.add_argument("--n-jobs", type=int, default=8)
+    p.add_argument("--n-train", type=int, default=40)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--decode-epoch", type=int, default=None)
+    args = p.parse_args(argv)
+
+    exp = load_config(args.config) if args.config else ExperimentConfig()
+    if args.epochs is not None:
+        exp.train.epoch_count = args.epochs
+    paths = RecipePaths(wav_root=args.wav_root, work=args.work,
+                        n_train=args.n_train)
+    run_stages(args.stage, exp, paths, conf_dir=args.conf_dir,
+               n_jobs=args.n_jobs, decode_epoch=args.decode_epoch)
+
+
+if __name__ == "__main__":
+    main()
