@@ -1,0 +1,254 @@
+"""Sequential Monte Carlo over frame-sequence latents (bootstrap filter).
+
+The frame-sequence latent z_{1:T} of the CycleVAE decoder is a state-space
+model: prior z_t ~ N(0, I), observation x_t ~ Laplace(dec(z)_t, b) where the
+decoder is autoregressive — so each PARTICLE carries the decoder's recurrent
+state (GRU hidden h, AR feedback y).  The filter is one ``lax.scan`` over
+time with particles as a vmapped batch axis; throughput scales by sharding
+PARTICLES on the ``dp`` mesh axis (SURVEY.md §2.3):
+
+  * weight normalization = psum over the particle axis,
+  * systematic resampling uses a global cumulative distribution — computed
+    from an all-gathered weight vector (small: n_particles floats), while the
+    particle STATE exchange stays an all_gather over ICI.
+
+Generic: ``smc_filter`` takes (init, propagate, log_weight) callables, so the
+same engine runs the decoder SSM and test targets (linear-Gaussian vs Kalman).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SMCConfig(NamedTuple):
+    n_particles: int = 256
+    ess_threshold: float = 0.5   # resample when ESS/N drops below this
+    resample: str = "systematic"
+
+
+def systematic_resample_indices(key, log_w: jnp.ndarray) -> jnp.ndarray:
+    """Systematic resampling: N ancestors from normalized weights."""
+    n = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), minval=0.0, maxval=1.0 / n)
+    pts = u0 + jnp.arange(n) / n
+    return jnp.searchsorted(cum, pts)
+
+
+def smc_filter(
+    key: jax.Array,
+    T: int,
+    init: Callable[[jax.Array], any],
+    propagate: Callable[[jax.Array, any, int], any],
+    log_weight: Callable[[any, int], jnp.ndarray],
+    cfg: SMCConfig = SMCConfig(),
+) -> Tuple[any, dict]:
+    """Bootstrap particle filter.
+
+    init(key) -> particle state pytree (single particle)
+    propagate(key, state, t) -> new state (single particle, one step)
+    log_weight(state, t) -> incremental log-likelihood of observation t
+
+    Returns (final particle states (vmapped pytree), info with
+    log_marginal (SMC estimate of log p(x_{1:T})), ess trajectory,
+    resampled flags).
+    """
+    n = cfg.n_particles
+    key, k_init = jax.random.split(key)
+    states = jax.vmap(init)(jax.random.split(k_init, n))
+
+    def step(carry, t):
+        key, states, log_w, log_Z = carry
+        key, k_prop, k_res = jax.random.split(key, 3)
+        states = jax.vmap(lambda k, s: propagate(k, s, t))(
+            jax.random.split(k_prop, n), states)
+        log_inc = jax.vmap(lambda s: log_weight(s, t))(states)
+        log_w = log_w + log_inc
+
+        # marginal-likelihood increment + ESS
+        log_sum = jax.nn.logsumexp(log_w)
+        w_norm = jnp.exp(log_w - log_sum)
+        ess = 1.0 / jnp.sum(w_norm ** 2)
+
+        def do_resample(args):
+            key_r, states, log_w = args
+            idx = systematic_resample_indices(key_r, log_w)
+            states_r = jax.tree_util.tree_map(lambda x: x[idx], states)
+            # after resampling: uniform weights carrying the average weight
+            log_w_r = jnp.full((n,), log_sum - jnp.log(n))
+            return states_r, log_w_r, jnp.asarray(True)
+
+        def no_resample(args):
+            _, states, log_w = args
+            return states, log_w, jnp.asarray(False)
+
+        states, log_w, resampled = jax.lax.cond(
+            ess < cfg.ess_threshold * n, do_resample, no_resample,
+            (k_res, states, log_w))
+        return (key, states, log_w, log_Z), (ess, resampled)
+
+    log_w0 = jnp.full((n,), -jnp.log(n))
+    (key, states, log_w, _), (ess_traj, resampled) = jax.lax.scan(
+        step, (key, states, log_w0, 0.0), jnp.arange(T))
+    log_marginal = jax.nn.logsumexp(log_w)
+    info = {"log_marginal": log_marginal, "ess": ess_traj,
+            "resampled": resampled}
+    return states, info
+
+
+# ---------------------------------------------------------------------------
+# CycleVAE decoder SSM wiring
+# ---------------------------------------------------------------------------
+
+def make_decoder_ssm(params, cfg, feats, spk_code, obs_scale: float = 1.0):
+    """(init, propagate, log_weight) for SMC over the decoder's frame latents.
+
+    Each particle state: {z_t, gru hidden h (L, H), AR feedback y, out_t}.
+    propagate samples z_t ~ N(0, I) and advances the decoder ONE frame using
+    the fused cell from ops.gru_scan semantics.
+    """
+    from ..models.layers import dilconv_effective, window_gather
+    from ..ops.gru_scan import _gru_cell
+
+    dec_cfg = cfg.dec_cfg
+    mcep = feats[..., cfg.stdim:]
+    import math
+    beta = (10.0 / math.log(10.0)) * math.sqrt(2.0) / obs_scale
+    s_out = params.decoder["scale_out"]
+    y0 = (0.0 - s_out["mean"]) / s_out["scale"]
+    gru = params.decoder["gru"]
+    out_p = params.decoder["out"]
+    hidden = gru[0]["w_hh"].shape[1]
+    n_layers = len(gru)
+    lat_dim = cfg.lat_dim
+
+    # Conv context depends on a window of z values; for the bootstrap SSM we
+    # use the per-frame center tap only (kernel context of the sampled z
+    # trajectory would make the state non-Markov).  The effective center-tap
+    # weight comes from the composed conv operator.
+    w_eff, b_eff = dilconv_effective(params.decoder["conv"], dec_cfg.kernel_size)
+    rec = dec_cfg.rec_field
+    c_in = dec_cfg.in_dim
+    center = (rec // 2) * c_in
+    w_center = w_eff[center:center + c_in, :]  # (in_dim, conv_dim)
+
+    def init(key):
+        return {
+            "h": jnp.zeros((n_layers, hidden)),
+            "y": y0,
+            "out": jnp.zeros((cfg.out_dim,)),
+            "z": jnp.zeros((lat_dim,)),
+        }
+
+    def propagate(key, state, t):
+        z = jax.random.normal(key, (lat_dim,))
+        x_t = jnp.concatenate([spk_code[t], z])          # (in_dim,)
+        conv_t = x_t @ w_center + b_eff                  # (conv_dim,)
+        gx = (jnp.concatenate([conv_t, state["y"]])
+              @ gru[0]["w_ih"].T + gru[0]["b_ih"])
+        h = state["h"]
+        new_h = []
+        inp_gates = gx
+        for l in range(n_layers):
+            if l > 0:
+                inp_gates = new_h[l - 1] @ gru[l]["w_ih"].T + gru[l]["b_ih"]
+            h_l = _gru_cell(inp_gates, h[l], gru[l]["w_hh"], gru[l]["b_hh"],
+                            hidden)
+            new_h.append(h_l)
+        y = new_h[-1] @ out_p["w"].T + out_p["b"]
+        out = y * s_out["scale"] + s_out["mean"]
+        return {"h": jnp.stack(new_h), "y": y, "out": out, "z": z}
+
+    def log_weight(state, t):
+        return -beta * jnp.sum(jnp.abs(state["out"] - mcep[t]))
+
+    return init, propagate, log_weight
+
+
+def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
+                       cfg: SMCConfig = SMCConfig()):
+    """Particles sharded on the dp axis via shard_map.  Weight normalization
+    and ESS are psum'd; systematic resampling all-gathers the (small) weight
+    vector to index into the all-gathered particle states."""
+    from jax.sharding import PartitionSpec as P
+
+    n = cfg.n_particles
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0
+    key, shared_key = jax.random.split(key)
+
+    def local(keys, shared_key):
+        # NOTE: systematic resampling must draw the SAME u0 on every device,
+        # so the resample key derives from the replicated shared_key + t,
+        # never from the per-device stream.
+        n_local = n // n_dev
+        key = keys[0]
+        key, k_init = jax.random.split(key)
+        states = jax.vmap(init)(jax.random.split(k_init, n_local))
+
+        def step(carry, t):
+            key, states, log_w, _ = carry
+            key, k_prop = jax.random.split(key)
+            k_res = jax.random.fold_in(shared_key, t)
+            states = jax.vmap(lambda k, s: propagate(k, s, t))(
+                jax.random.split(k_prop, n_local), states)
+            log_inc = jax.vmap(lambda s: log_weight(s, t))(states)
+            log_w = log_w + log_inc
+
+            # global normalization via collectives
+            local_max = jnp.max(log_w)
+            gmax = jax.lax.pmax(local_max, "dp")
+            sum_exp = jax.lax.psum(jnp.sum(jnp.exp(log_w - gmax)), "dp")
+            log_sum = gmax + jnp.log(sum_exp)
+            ess = 1.0 / jax.lax.psum(
+                jnp.sum(jnp.exp(2.0 * (log_w - log_sum))), "dp")
+
+            def do_resample(args):
+                k_res, states, log_w = args
+                # gather the full weight vector + states, then pick this
+                # device's slice of ancestors
+                all_w = jax.lax.all_gather(log_w, "dp").reshape(-1)
+                all_states = jax.tree_util.tree_map(
+                    lambda x: jax.lax.all_gather(x, "dp").reshape(
+                        (-1,) + x.shape[1:]), states)
+                idx_all = systematic_resample_indices(k_res, all_w)
+                dev = jax.lax.axis_index("dp")
+                idx_local = jax.lax.dynamic_slice_in_dim(
+                    idx_all, dev * n_local, n_local)
+                states_r = jax.tree_util.tree_map(lambda x: x[idx_local],
+                                                  all_states)
+                # mark device-varying (the value is replicated arithmetic,
+                # but the carry slot is a per-device array)
+                log_w_r = jax.lax.pvary(
+                    jnp.full((n_local,), log_sum - jnp.log(n)), "dp")
+                return states_r, log_w_r, jnp.asarray(True)
+
+            def no_resample(args):
+                _, states, log_w = args
+                return states, log_w, jnp.asarray(False)
+
+            states, log_w, resampled = jax.lax.cond(
+                ess < cfg.ess_threshold * n, do_resample, no_resample,
+                (k_res, states, log_w))
+            return (key, states, log_w, log_sum), (ess, resampled)
+
+        log_w0 = jax.lax.pvary(jnp.full((n_local,), -jnp.log(n)), "dp")
+        states = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, "dp"),
+                                        states)
+        (key, states, log_w, _), (ess_traj, resampled) = jax.lax.scan(
+            step, (key, states, log_w0, 0.0), jnp.arange(T))
+        lmax = jax.lax.pmax(jnp.max(log_w), "dp")
+        log_marginal = lmax + jnp.log(
+            jax.lax.psum(jnp.sum(jnp.exp(log_w - lmax)), "dp"))
+        return states, {"log_marginal": log_marginal, "ess": ess_traj,
+                        "resampled": resampled}
+
+    keys = jax.random.split(key, n_dev)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P("dp"), P()),
+                       out_specs=(P("dp"), P()))
+    return fn(keys, shared_key)

@@ -1,0 +1,188 @@
+"""MCMC/SMC correctness tests (SURVEY.md §4 item c): Gaussian-target moment
+checks, leapfrog reversibility/energy conservation, NUTS vs known posterior,
+SMC log-marginal vs exact Kalman filter, and sharded variants on the 8-device
+CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cyclevae_tpu.infer import (
+    HMCConfig, NUTSConfig, SMCConfig,
+    hmc_sample, nuts_sample, smc_filter,
+)
+from cyclevae_tpu.infer.hmc import _leapfrog, hmc_sample_chains
+from cyclevae_tpu.infer.logjoint import make_gaussian_logjoint
+from cyclevae_tpu.infer.nuts import nuts_sample_chains
+from cyclevae_tpu.infer.smc import smc_filter_sharded, systematic_resample_indices
+
+
+MEAN = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+COV = jnp.asarray([0.5, 2.0, 1.0, 0.25])
+
+
+def test_leapfrog_reversibility_and_energy():
+    lj = make_gaussian_logjoint(MEAN, COV)
+    vg = jax.value_and_grad(lj)
+    grad = lambda z: vg(z)
+    z = jnp.asarray([0.3, 0.1, -0.5, 1.0])
+    p = jnp.asarray([1.0, -0.3, 0.2, 0.4])
+    inv_mass = jnp.ones(4)
+    eps, L = 0.05, 30
+    z1, p1 = _leapfrog(grad, z, p, eps, L, inv_mass)
+    # reverse: negate momentum, integrate, negate again
+    z2, p2 = _leapfrog(grad, z1, -p1, eps, L, inv_mass)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(-p2), np.asarray(p), atol=1e-5)
+    # energy conservation to O(eps^2)
+    h0 = -lj(z) + 0.5 * jnp.sum(p ** 2)
+    h1 = -lj(z1) + 0.5 * jnp.sum(p1 ** 2)
+    assert abs(float(h1 - h0)) < 0.01
+
+
+def test_hmc_gaussian_moments():
+    lj = make_gaussian_logjoint(MEAN, COV)
+    cfg = HMCConfig(step_size=0.2, n_leapfrog=8, n_warmup=300, n_samples=2000)
+    samples, info = jax.jit(
+        lambda k, z: hmc_sample(k, lj, z, cfg))(jax.random.PRNGKey(0),
+                                                jnp.zeros(4))
+    s = np.asarray(samples)
+    assert float(info["accept_prob"]) > 0.5
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.15)
+    np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.35)
+
+
+def test_hmc_chains_vmap():
+    lj = make_gaussian_logjoint(MEAN, COV)
+    cfg = HMCConfig(step_size=0.2, n_leapfrog=8, n_warmup=200, n_samples=500)
+    z0 = jnp.zeros((4, 4))
+    samples, info = hmc_sample_chains(jax.random.PRNGKey(1), lj, z0, cfg)
+    s = np.asarray(samples).reshape(-1, 4)
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.15)
+    # shared adaptation -> identical step size across chains
+    ss = np.asarray(info["step_size"])
+    np.testing.assert_allclose(ss, ss[0], rtol=1e-6)
+
+
+def test_nuts_gaussian_moments():
+    lj = make_gaussian_logjoint(MEAN, COV)
+    cfg = NUTSConfig(step_size=0.2, max_depth=6, n_warmup=300, n_samples=1500)
+    samples, info = jax.jit(
+        lambda k, z: nuts_sample(k, lj, z, cfg))(jax.random.PRNGKey(2),
+                                                 jnp.zeros(4))
+    s = np.asarray(samples)
+    assert float(info["divergence_rate"]) < 0.05
+    assert float(info["mean_depth"]) >= 1.0
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.15)
+    np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.35)
+
+
+def test_nuts_adapts_into_target_accept():
+    lj = make_gaussian_logjoint(MEAN, COV)
+    cfg = NUTSConfig(step_size=1.5, max_depth=6, n_warmup=400, n_samples=300,
+                     target_accept=0.8)
+    _, info = jax.jit(
+        lambda k, z: nuts_sample(k, lj, z, cfg))(jax.random.PRNGKey(3),
+                                                 jnp.zeros(4))
+    assert 0.6 < float(info["accept_stat"]) <= 1.0
+
+
+def test_systematic_resampling_unbiased():
+    key = jax.random.PRNGKey(0)
+    log_w = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resample_indices(jax.random.fold_in(key, i), log_w)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.02)
+
+
+def _kalman_log_marginal(ys, q, r):
+    """Exact log p(y_{1:T}) for x_t ~ N(0, q) iid latent, y_t ~ N(x_t, r).
+    (Degenerate SSM: each step independent => sum of log N(y_t; 0, q + r).)"""
+    var = q + r
+    return float(np.sum(-0.5 * (np.log(2 * np.pi * var) + ys ** 2 / var)))
+
+
+def test_smc_log_marginal_matches_exact():
+    # iid latent Gaussian SSM: exact marginal available in closed form
+    q, r, T = 1.0, 0.5, 25
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.normal(0, np.sqrt(q + r), size=T))
+
+    def init(key):
+        return {"x": jnp.zeros(())}
+
+    def propagate(key, state, t):
+        return {"x": jax.random.normal(key) * jnp.sqrt(q)}
+
+    def log_weight(state, t):
+        return -0.5 * (jnp.log(2 * jnp.pi * r) + (ys[t] - state["x"]) ** 2 / r)
+
+    cfg = SMCConfig(n_particles=4096, ess_threshold=0.5)
+    _, info = jax.jit(lambda k: smc_filter(k, T, init, propagate, log_weight,
+                                           cfg))(jax.random.PRNGKey(0))
+    exact = _kalman_log_marginal(np.asarray(ys), q, r)
+    assert abs(float(info["log_marginal"]) - exact) < 0.25, (
+        float(info["log_marginal"]), exact)
+
+
+def test_smc_sharded_matches_exact():
+    from cyclevae_tpu.parallel import make_mesh
+    q, r, T = 1.0, 0.5, 25
+    rng = np.random.default_rng(1)
+    ys = jnp.asarray(rng.normal(0, np.sqrt(q + r), size=T))
+
+    def init(key):
+        return {"x": jnp.zeros(())}
+
+    def propagate(key, state, t):
+        return {"x": jax.random.normal(key) * jnp.sqrt(q)}
+
+    def log_weight(state, t):
+        return -0.5 * (jnp.log(2 * jnp.pi * r) + (ys[t] - state["x"]) ** 2 / r)
+
+    mesh = make_mesh(8)
+    cfg = SMCConfig(n_particles=4096, ess_threshold=0.5)
+    _, info = smc_filter_sharded(mesh, jax.random.PRNGKey(0), T, init,
+                                 propagate, log_weight, cfg)
+    exact = _kalman_log_marginal(np.asarray(ys), q, r)
+    assert abs(float(info["log_marginal"]) - exact) < 0.25
+
+
+def test_decoder_ssm_smc_runs():
+    """SMC over the real decoder SSM on a tiny model: finite log-marginal and
+    resampling activity."""
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+    from cyclevae_tpu.infer.smc import make_decoder_ssm
+
+    cfg = CycleVAEConfig(hidden_units=16, n_cyc=1)
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32), np.ones(54, np.float32))
+    T = 12
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(T, 54)).astype(np.float32))
+    code = jnp.asarray(np.tile([1.0, 0.0], (T, 1)).astype(np.float32))
+    init, prop, logw = make_decoder_ssm(params, cfg, feats, code,
+                                        obs_scale=50.0)
+    scfg = SMCConfig(n_particles=128)
+    states, info = jax.jit(lambda k: smc_filter(k, T, init, prop, logw,
+                                                scfg))(jax.random.PRNGKey(1))
+    assert np.isfinite(float(info["log_marginal"]))
+    assert states["h"].shape[0] == 128
+
+
+def test_hmc_sharded_chains():
+    from cyclevae_tpu.parallel import make_mesh
+    from cyclevae_tpu.infer.hmc import hmc_sample_sharded
+    lj = make_gaussian_logjoint(MEAN, COV)
+    mesh = make_mesh(8)
+    cfg = HMCConfig(step_size=0.2, n_leapfrog=8, n_warmup=150, n_samples=400)
+    z0 = jnp.zeros((16, 4))  # 2 chains per device
+    samples, info = hmc_sample_sharded(mesh, jax.random.PRNGKey(5), lj, z0, cfg)
+    s = np.asarray(samples).reshape(-1, 4)
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.15)
+    np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.35)
