@@ -127,6 +127,7 @@ def gru_rnn_apply(
     clamp_vae: bool = False,
     clamp_vae_laplace: bool = False,
     lat_dim: int = 32,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward over a (B, T, in_dim) segment.
 
@@ -158,9 +159,19 @@ def gru_rnn_apply(
     if h_in is None:
         h_in = init_hidden(cfg, B)
 
-    trj, y_last, h_last = gru_ar_scan(
-        params["gru"], params["out"], conv_seq, y_in, h_in, out_mask
-    )
+    if use_pallas and cfg.hidden_layers == 1 and out_mask is None:
+        # fused Pallas scan with VMEM-resident weights: ~1.36x over the XLA
+        # scan at batch >=128 (82% of the bf16 matmul roofline); forward-only
+        from ..ops.gru_scan import precompute_input_gates
+        from ..ops.pallas_gru import pallas_gru_ar
+        gx = precompute_input_gates(params["gru"][0], conv_seq)
+        trj, y_last, h_last1 = pallas_gru_ar(
+            params["gru"][0], params["out"], gx, y_in, h_in[0])
+        h_last = h_last1[None]
+    else:
+        trj, y_last, h_last = gru_ar_scan(
+            params["gru"], params["out"], conv_seq, y_in, h_in, out_mask
+        )
 
     if cfg.scale_out:
         s = params["scale_out"]

@@ -1,0 +1,143 @@
+"""Unit tests for pipeline components: features helpers, stats, datasets,
+checkpoint round-trip, summary."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from cyclevae_tpu.pipeline.dataset import bucket_len, make_batch, padding
+from cyclevae_tpu.pipeline.features import (
+    convert_continuos_f0,
+    convert_f0,
+    extfrm,
+    spc2npow,
+)
+from cyclevae_tpu.pipeline.stats import StreamingMeanScale
+from cyclevae_tpu.pipeline.summary import summarize
+
+
+def test_streaming_mean_scale_matches_numpy():
+    rng = np.random.default_rng(0)
+    chunks = [rng.normal(size=(n, 5)) for n in (17, 3, 40)]
+    s = StreamingMeanScale()
+    for c in chunks:
+        s.partial_fit(c)
+    allx = np.concatenate(chunks)
+    np.testing.assert_allclose(s.mean, allx.mean(0), atol=1e-10)
+    np.testing.assert_allclose(s.scale, allx.std(0), atol=1e-10)
+
+
+def test_convert_continuos_f0():
+    f0 = np.array([0.0, 0, 100, 0, 0, 200, 0], dtype=np.float64)
+    uv, cont = convert_continuos_f0(f0)
+    np.testing.assert_array_equal(uv, [0, 0, 1, 0, 0, 1, 0])
+    assert cont[0] == 100 and cont[-1] == 200
+    # linear interpolation between the voiced anchors
+    np.testing.assert_allclose(cont[2:6], [100, 100 + 100 / 3,
+                                           100 + 200 / 3, 200])
+
+
+def test_convert_f0_log_gaussian():
+    f0 = np.array([0.0, 100.0, 200.0])
+    cv = convert_f0(f0, np.log(100), 0.2, np.log(150), 0.2)
+    assert cv[0] == 0.0
+    np.testing.assert_allclose(cv[1], 150.0, rtol=1e-9)
+    np.testing.assert_allclose(cv[2], 300.0, rtol=1e-9)
+
+
+def test_spc2npow_flat():
+    sp = np.ones((4, 9))
+    npow = spc2npow(sp)
+    np.testing.assert_allclose(npow, 0.0, atol=1e-9)  # all frames == mean
+
+
+def test_extfrm():
+    data = np.arange(10).reshape(5, 2).astype(float)
+    npow = np.array([-30.0, -10, -25, -5, -50])
+    ext, idx = extfrm(data, npow, power_threshold=-20)
+    np.testing.assert_array_equal(idx[0], [1, 3])
+    np.testing.assert_array_equal(ext, data[[1, 3]])
+
+
+def test_padding_and_bucket():
+    x = np.ones((10, 3))
+    assert padding(x, 15).shape == (15, 3)
+    assert padding(x, 5).shape == (10, 3)  # no truncation
+    assert bucket_len(100, 80, 7) == 560
+    assert bucket_len(561, 80, 7) == 1120
+
+
+def test_summary_renders(tmp_path):
+    hist = {"history": [{"epoch": 1, "train": {"loss": 100.0},
+                         "eval": {"mcdpow_cv_mean": 9.0, "criterion": 20.0}}],
+            "best": {"criterion": 20.0, "epoch": 1}}
+    p = tmp_path / "history.json"
+    p.write_text(json.dumps(hist))
+    out = summarize(str(p), keys=["mcdpow_cv_mean", "criterion"])
+    assert "#min=20.000 @epoch 1" in out
+    assert "100.00" in out
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from cyclevae_tpu.vi.checkpoint import (
+        load_checkpoint, restore_np_rng, save_checkpoint)
+
+    params = {"w": jnp.arange(4.0), "nested": [{"b": jnp.ones((2, 2))}]}
+    np_rng = np.random.default_rng(42)
+    np_rng.normal()  # advance
+    key = jax.random.PRNGKey(7)
+    path = save_checkpoint(str(tmp_path), params, {"opt": jnp.zeros(3)},
+                           key, np_rng, epoch=5)
+    ck = load_checkpoint(path)
+    assert ck["epoch"] == 5
+    np.testing.assert_array_equal(ck["params"]["w"], np.arange(4.0))
+    rng2 = restore_np_rng(ck["np_rng_state"])
+    # restored generator continues the exact same stream
+    assert rng2.normal() == np_rng.normal()
+
+
+def test_mult_dataset_surface(tmp_path):
+    """Many-to-many dataset contract on synthetic h5 files."""
+    from cyclevae_tpu.pipeline.dataset_mult import (
+        MultSpkEvalDataset, MultSpkTrainDataset, validate_length)
+    from cyclevae_tpu.utils.hdf5 import write_hdf5
+
+    spks = ["SPK_A", "SPK_B", "SPK_C"]
+    files = []
+    rng = np.random.default_rng(0)
+    for spk in spks:
+        d = tmp_path / spk
+        f = str(d / "u1.h5")
+        T = 20
+        write_hdf5(f, "/feat_org_lf0", rng.normal(size=(T, 54)))
+        write_hdf5(f, "/spcidx_range", np.arange(T)[None])
+        for other in spks:
+            if other != spk:
+                write_hdf5(f, f"/cvuvlogf0fil_ap_{other}",
+                           rng.normal(size=(T, 4)))
+        files.append(f)
+
+    ds = MultSpkTrainDataset(files, ["SPK_A"], ["SPK_B", "SPK_C"], n_cyc=2,
+                             seed=1)
+    u = ds[0]  # SPK_A utterance
+    assert u.src_code.shape == (20, 3)
+    assert u.src_code[0, 0] == 1
+    assert len(u.trg_codes) == 2 and len(u.cv_excits) == 2
+    for code, spk in zip(u.trg_codes, u.pair_spks):
+        assert spk in ("SPK_B", "SPK_C")
+        assert code[0, spks.index(spk)] == 1
+    u_b = ds[1]  # SPK_B -> must pair into the src group
+    assert all(s == "SPK_A" for s in u_b.pair_spks)
+
+    ev = MultSpkEvalDataset(files, ["SPK_A"], ["SPK_B", "SPK_C"], n_cyc=2)
+    assert ev[0].pair_spks[0] == "SPK_B"  # deterministic
+
+    x = np.zeros(1003)
+    y = np.zeros((12, 3))
+    xv, yv = validate_length(x, y, upsampling_factor=100)
+    assert xv.shape[0] == 1000 and yv.shape[0] == 10
