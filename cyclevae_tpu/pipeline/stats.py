@@ -142,3 +142,28 @@ def extract_cv_excitation(feat_files: List[str], stats_self: str,
         cont_f0_lpf = low_pass_filter(cont_f0, frame_fs, cutoff=20)
         cvlogf0fil = np.expand_dims(np.log(cont_f0_lpf), axis=-1)
         write_hdf5(filename, "/cvuvlogf0fil_ap", np.c_[cvuv, cvlogf0fil, ap])
+
+
+def extract_cv_excitation_mult(feat_files: List[str], stats_self: str,
+                               partner_stats: dict, fs: int,
+                               shiftms: float = 5.0):
+    """Many-to-many stage 3: one converted-excitation dataset PER partner
+    speaker, keyed ``/cvuvlogf0fil_ap_<spk>`` (reference dataset.py:114-131
+    read contract).  ``partner_stats``: {spk_name: stats_h5_path}."""
+    lm_self = read_hdf5(stats_self, "/lf0_range_mean")
+    ls_self = read_hdf5(stats_self, "/lf0_range_std")
+    stdim, endim = _ap_dims(fs)
+    frame_fs = int(1.0 / (shiftms * 0.001))
+    for filename in feat_files:
+        ap = read_hdf5(filename, "/feat_org_lf0")[:, stdim:endim]
+        f0 = read_hdf5(filename, "/f0_range")
+        for spk, stats_other in partner_stats.items():
+            lm_o = read_hdf5(stats_other, "/lf0_range_mean")
+            ls_o = read_hdf5(stats_other, "/lf0_range_std")
+            cvf0 = convert_f0(f0, lm_self, ls_self, lm_o, ls_o)
+            cvuv, cont_f0 = convert_continuos_f0(cvf0)
+            cvuv = np.expand_dims(cvuv, axis=-1)
+            cont_f0_lpf = low_pass_filter(cont_f0, frame_fs, cutoff=20)
+            cvlogf0fil = np.expand_dims(np.log(cont_f0_lpf), axis=-1)
+            write_hdf5(filename, f"/cvuvlogf0fil_ap_{spk}",
+                       np.c_[cvuv, cvlogf0fil, ap])

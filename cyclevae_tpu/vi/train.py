@@ -138,8 +138,8 @@ def cyclic_forward(
     rng: jax.Array,
     feats: jnp.ndarray,       # (B, T, in_dim) raw (unnormalized) features
     src_code: jnp.ndarray,    # (B, T, n_spk)
-    trg_code: jnp.ndarray,    # (B, T, n_spk)
-    cv_excit: jnp.ndarray,    # (B, T, stdim) converted excitation
+    trg_code: jnp.ndarray,    # (B, T, n_spk) or (n_cyc, B, T, n_spk)
+    cv_excit: jnp.ndarray,    # (B, T, stdim) or (n_cyc, B, T, stdim)
     state: Dict,
     do: bool = False,
 ) -> Tuple[Dict, Dict]:
@@ -147,6 +147,11 @@ def cyclic_forward(
 
     outputs: dict with stacked per-cycle arrays:
       lat (n, B, T, 2*lat), lat_cv, recon (n, B, T, out), conv, cyc_recon.
+
+    Many-to-many surface: pass ``trg_code`` / ``cv_excit`` with a leading
+    n_cyc axis to convert to a DIFFERENT randomly-drawn speaker each cycle
+    (reference dataset.py:101-135 contract); 3-D inputs reuse one pair for
+    every cycle (the one-to-one pipeline).
     """
     n = cfg.eff_cyc
     lat_dim = cfg.lat_dim
@@ -154,6 +159,8 @@ def cyclic_forward(
     outs = {k: [] for k in ("lat", "lat_cv", "recon", "conv", "cyc_recon")}
     cyc_prev = None
     for i in range(n):
+        trg_code_i = trg_code[i] if trg_code.ndim == 4 else trg_code
+        cv_excit_i = cv_excit[i] if cv_excit.ndim == 4 else cv_excit
         rng, *ks = jax.random.split(rng, 9)
         if i == 0:
             enc_in = feats
@@ -177,14 +184,14 @@ def cyclic_forward(
         z_trg = sampling_vae_batch(ks[3], lat, lat_dim)
         conv, y, h = gru_rnn_apply(
             params.decoder, cfg.dec_cfg,
-            jnp.concatenate([trg_code, z_trg], axis=-1),
+            jnp.concatenate([trg_code_i, z_trg], axis=-1),
             state["dec_trg_y"][i], state["dec_trg_h"][i], rng=ks[4], do=do)
         new_state["dec_trg_y"] = new_state["dec_trg_y"].at[i].set(y)
         new_state["dec_trg_h"] = new_state["dec_trg_h"].at[i].set(h)
 
         lat_cv, y, h = gru_rnn_apply(
             params.encoder, cfg.enc_cfg,
-            jnp.concatenate([cv_excit, conv], axis=-1),
+            jnp.concatenate([cv_excit_i, conv], axis=-1),
             state["enc_cv_y"][i], state["enc_cv_h"][i],
             rng=ks[5], do=do, clamp_vae=True, lat_dim=lat_dim)
         new_state["enc_cv_y"] = new_state["enc_cv_y"].at[i].set(y)
@@ -297,13 +304,18 @@ def make_train_step(cfg: CycleVAEConfig, optimizer: optax.GradientTransformation
             batch["feats"].dtype)  # (B, T)
 
         def to_segs(x):
+            if x.ndim == 4:  # (n_cyc, B, T, D): per-cycle many-to-many arrays
+                xr = x[:, :, :T].reshape(x.shape[0], x.shape[1], n_segs,
+                                         seg_len, x.shape[3])
+                return jnp.moveaxis(xr, 2, 0)  # (n_segs, n_cyc, B, seg, D)
+            x = x[:, :T]
             return x.reshape(x.shape[0], n_segs, seg_len, *x.shape[2:]).swapaxes(0, 1)
 
         segs = {
-            "feats": to_segs(batch["feats"][:, :T]),
-            "src_code": to_segs(batch["src_code"][:, :T]),
-            "trg_code": to_segs(batch["trg_code"][:, :T]),
-            "cv_excit": to_segs(batch["cv_excit"][:, :T]),
+            "feats": to_segs(batch["feats"]),
+            "src_code": to_segs(batch["src_code"]),
+            "trg_code": to_segs(batch["trg_code"]),
+            "cv_excit": to_segs(batch["cv_excit"]),
             "mask": to_segs(mask_full),
         }
 
