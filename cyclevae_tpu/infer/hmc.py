@@ -125,6 +125,86 @@ def hmc_sample(
     return samples, info
 
 
+def hmc_sample_batch(key, logjoint_batch, z0_chains,
+                     cfg: HMCConfig = HMCConfig()):
+    """Multi-chain HMC where chains ride the target's BATCH axis.
+
+    ``logjoint_batch(z (C, ...)) -> (C,)``: one fused evaluation for all
+    chains (e.g. logjoint.make_utterance_logjoint_batched routes chains
+    through the decoder batch dim, filling the MXU tile).  Acceptance is
+    per-chain; dual-averaging / mass adaptation share statistics across
+    chains.  Returns (samples (n_samples, C, ...), info).
+    """
+    C = z0_chains.shape[0]
+    chain_axes = tuple(range(1, z0_chains.ndim))
+
+    def total_lj(z):
+        return jnp.sum(logjoint_batch(z))
+
+    grad_fn = jax.grad(total_lj)  # per-chain grads (chains are independent)
+
+    def kinetic(p, inv_mass):
+        return 0.5 * jnp.sum(inv_mass * p ** 2, axis=chain_axes)
+
+    def leapfrog(z, p, step_size, inv_mass):
+        def body(carry, _):
+            z, p = carry
+            p_half = p + 0.5 * step_size * grad_fn(z)
+            z_new = z + step_size * inv_mass * p_half
+            p_new = p_half + 0.5 * step_size * grad_fn(z_new)
+            return (z_new, p_new), None
+        (z, p), _ = jax.lax.scan(body, (z, p), None, length=cfg.n_leapfrog)
+        return z, p
+
+    def one_step(z, key, step_size, inv_mass):
+        k_mom, k_acc = jax.random.split(key)
+        p = jax.random.normal(k_mom, z.shape) / jnp.sqrt(inv_mass)
+        h0 = -logjoint_batch(z) + kinetic(p, inv_mass)
+        z_new, p_new = leapfrog(z, p, step_size, inv_mass)
+        h1 = -logjoint_batch(z_new) + kinetic(p_new, inv_mass)
+        log_accept = jnp.minimum(0.0, h0 - h1)                      # (C,)
+        accept_prob = jnp.exp(jnp.where(jnp.isfinite(log_accept),
+                                        log_accept, -jnp.inf))
+        accept = jax.random.uniform(k_acc, (C,)) < accept_prob
+        mask = accept.reshape((C,) + (1,) * len(chain_axes))
+        return jnp.where(mask, z_new, z), accept_prob
+
+    da0 = da_init(cfg.step_size)
+    inv_mass0 = jnp.ones_like(z0_chains[0])
+
+    def warmup_body(carry, key):
+        z, da, w_sum, w2_sum, n = carry
+        z, acc = one_step(z, key, jnp.exp(da.log_step), inv_mass0)
+        da = da_update(da, jnp.mean(acc), target=cfg.target_accept)
+        return (z, da, w_sum + z, w2_sum + z ** 2, n + 1), acc
+
+    keys = jax.random.split(key, cfg.n_warmup + cfg.n_samples + 1)
+    (z, da, w_sum, w2_sum, n), warm_acc = jax.lax.scan(
+        warmup_body,
+        (z0_chains, da0, jnp.zeros_like(z0_chains), jnp.zeros_like(z0_chains),
+         0.0), keys[:cfg.n_warmup])
+    step_size = da_final(da)
+    if cfg.adapt_mass:
+        # cross-chain pooled posterior variance as the diagonal inverse mass
+        var = jnp.mean(w2_sum / n - (w_sum / n) ** 2, axis=0)
+        inv_mass = jnp.maximum(var, 1e-3)
+    else:
+        inv_mass = inv_mass0
+
+    def sample_body(z, key):
+        z, acc = one_step(z, key, step_size, inv_mass)
+        return z, (z, acc)
+
+    z, (samples, acc) = jax.lax.scan(sample_body, z, keys[cfg.n_warmup:-1])
+    info = {
+        "accept_prob": jnp.mean(acc),
+        "warmup_accept_prob": jnp.mean(warm_acc),
+        "step_size": step_size,
+        "inv_mass": inv_mass,
+    }
+    return samples, info
+
+
 def hmc_sample_chains(key, logjoint, z0_chains, cfg: HMCConfig = HMCConfig(),
                       shared_adaptation: bool = True):
     """vmapped multi-chain HMC on one device: z0_chains (C, *shape).

@@ -53,6 +53,38 @@ def make_utterance_logjoint(
     return logjoint
 
 
+def make_utterance_logjoint_batched(
+    params: CycleVAEParams,
+    cfg: CycleVAEConfig,
+    feats: jnp.ndarray,        # (T, in_dim)
+    spk_code: jnp.ndarray,     # (T, n_spk)
+    obs_scale: float = 1.0,
+):
+    """Batched-chain log-joint: z (C, T, lat_dim) -> (C,) log p(x, z_c).
+
+    Chains ride the decoder's BATCH axis — one big AR scan whose matmuls fill
+    the MXU tile (C up to 128 rides free; see ops/pallas_gru notes) instead of
+    vmapping C separate scans.  This is the fast path for multi-chain HMC on
+    one chip.
+    """
+    mcep = feats[..., cfg.stdim:]
+    beta = mcd_constant() * _SQRT2 / obs_scale
+    s = params.decoder["scale_out"]
+
+    def logjoint(z: jnp.ndarray) -> jnp.ndarray:
+        C = z.shape[0]
+        y0 = jnp.broadcast_to((0.0 - s["mean"]) / s["scale"],
+                              (C, cfg.out_dim))
+        code = jnp.broadcast_to(spk_code, (C,) + spk_code.shape)
+        code_z = jnp.concatenate([code, z], axis=-1)
+        out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0)
+        lik = -beta * jnp.sum(jnp.abs(out - mcep), axis=(-2, -1))
+        prior = -0.5 * jnp.sum(z ** 2, axis=(-2, -1))
+        return lik + prior
+
+    return logjoint
+
+
 def make_gaussian_logjoint(mean: jnp.ndarray, cov_diag: jnp.ndarray):
     """Diagonal-Gaussian target for sampler correctness tests."""
     def logjoint(z):

@@ -124,6 +124,27 @@ def _speaker_codes(T: int, n_spk: int, idx: int) -> np.ndarray:
     return code
 
 
+def speaker_interp_code(T: int, n_spk: int, weights) -> np.ndarray:
+    """Speaker-space interpolation: a soft point in the n_spk-dim code space
+    (BASELINE.json config 5 — e.g. 0.5/0.5 morphs between the two one-to-one
+    speakers).  The decoder conditions linearly on the code, so intermediate
+    codes synthesize intermediate voices."""
+    w = np.asarray(weights, np.float32)
+    assert w.shape == (n_spk,)
+    return np.broadcast_to(w, (T, n_spk)).copy()
+
+
+def decode_interpolated(codec: Codec, key, feat: np.ndarray,
+                        weights) -> np.ndarray:
+    """Convert an utterance's features to an interpolated speaker identity.
+    Returns the converted mcep trajectory (T, out_dim)."""
+    import jax
+    lat = codec.encode(feat)
+    z = codec.latent_mean(key, lat)
+    code = speaker_interp_code(len(z), codec.cfg.n_spk, weights)
+    return codec.decode(code, z)
+
+
 def gv_postfilter(cvmcep: np.ndarray, gv_mean_data: np.ndarray,
                   cvgv_mean_model: np.ndarray) -> np.ndarray:
     """Scale mcep deviations by sqrt(gv_data/gv_model), keep c0

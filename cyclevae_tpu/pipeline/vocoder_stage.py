@@ -1,0 +1,109 @@
+"""Neural-vocoder training + synthesis driver (WaveRNN-class).
+
+Completes the reference's dormant vocoder surface (FeatureDatasetNeuVoco,
+dataset.py:517-563) into a runnable stage: teacher-forced training over
+wav/feature pairs, checkpointing, and mu-law AR synthesis via the Pallas
+sampling kernel (XLA fallback off-TPU).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.wavernn import (
+    WaveRNNConfig,
+    generate_xla,
+    init_wavernn,
+    mulaw_decode,
+    upsample_cond,
+    wavernn_loss,
+)
+from ..utils.hdf5 import read_hdf5
+from ..vi.checkpoint import save_checkpoint
+from .dataset_mult import NeuVocoDataset
+
+
+def sample_clips(ds: NeuVocoDataset, idxs, clip_frames: int, hop: int,
+                 rng: np.random.Generator):
+    """Random fixed-length (clip_frames) wav/feature crops for one batch."""
+    feats, wavs = [], []
+    for i in idxs:
+        item = ds[int(i)]
+        F = item["feat"].shape[0]
+        n_frames = min(clip_frames, F)
+        start = int(rng.integers(0, max(F - clip_frames, 0) + 1))
+        f = item["feat"][start:start + n_frames]
+        w = item["x"][start * hop:(start + n_frames) * hop]
+        if n_frames < clip_frames:
+            f = np.pad(f, ((0, clip_frames - n_frames), (0, 0)))
+            w = np.pad(w, (0, clip_frames * hop - len(w)))
+        feats.append(f)
+        wavs.append(w)
+    return (jnp.asarray(np.stack(feats), jnp.float32),
+            jnp.asarray(np.stack(wavs), jnp.float32))
+
+
+def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
+                      feat_files: Sequence[str], expdir: str,
+                      epochs: int = 10, batch_size: int = 8,
+                      clip_frames: int = 24, lr: float = 2e-4,
+                      seed: int = 1) -> Dict:
+    os.makedirs(expdir, exist_ok=True)
+    ds = NeuVocoDataset(wav_files, feat_files, cfg.hop)
+    key = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+    params = init_wavernn(key, cfg)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, feats, wavs):
+        loss, g = jax.value_and_grad(wavernn_loss)(params, cfg, feats, wavs)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        order = np_rng.permutation(len(ds))
+        losses = []
+        for s in range(0, len(order), batch_size):
+            idxs = order[s:s + batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
+            feats, wavs = sample_clips(ds, idxs, clip_frames, cfg.hop, np_rng)
+            params, opt_state, loss = step(params, opt_state, feats, wavs)
+            losses.append(float(loss))
+        history.append({"epoch": epoch + 1, "nll": float(np.mean(losses)),
+                        "sec": time.time() - t0})
+        logging.info("vocoder epoch %d: nll=%.3f (%.1fs)", epoch + 1,
+                     history[-1]["nll"], history[-1]["sec"])
+        save_checkpoint(expdir, params, opt_state, key, np_rng, epoch + 1)
+    with open(os.path.join(expdir, "history.json"), "w") as f:
+        json.dump({"history": history}, f, indent=2)
+    return {"params": params, "history": history}
+
+
+def synthesize_vocoder(params: Dict, cfg: WaveRNNConfig, feats: np.ndarray,
+                       seed: int = 0, temperature: float = 1.0,
+                       use_pallas: bool = True) -> np.ndarray:
+    """Features (F, feat_dim) -> waveform samples in [-1, 1]."""
+    cond = upsample_cond(params, cfg, jnp.asarray(feats, jnp.float32)[None])
+    if use_pallas and jax.devices()[0].platform == "tpu":
+        from ..ops.pallas_wavernn import pallas_wavernn_generate
+        idx = pallas_wavernn_generate(params, cfg, cond, seed=seed,
+                                      temperature=temperature)[0]
+    else:
+        idx = generate_xla(params, cfg, jax.random.PRNGKey(seed), cond[0],
+                           temperature=temperature)
+    return np.asarray(mulaw_decode(idx, cfg.n_classes))

@@ -186,3 +186,21 @@ def test_hmc_sharded_chains():
     s = np.asarray(samples).reshape(-1, 4)
     np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.15)
     np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.35)
+
+
+def test_hmc_batched_chains_gaussian():
+    from cyclevae_tpu.infer.hmc import hmc_sample_batch
+
+    def lj_batch(z):  # (C, 4) -> (C,)
+        return -0.5 * jnp.sum((z - MEAN) ** 2 / COV, axis=-1)
+
+    cfg = HMCConfig(step_size=0.2, n_leapfrog=8, n_warmup=300, n_samples=800)
+    z0 = jnp.zeros((16, 4))
+    samples, info = jax.jit(
+        lambda k, z: hmc_sample_batch(k, lj_batch, z, cfg))(
+            jax.random.PRNGKey(6), z0)
+    s = np.asarray(samples).reshape(-1, 4)
+    assert float(info["accept_prob"]) > 0.5
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.1)
+    # autocorrelated draws -> wide variance CI; check the right scale only
+    np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.5)
