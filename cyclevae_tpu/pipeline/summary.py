@@ -25,7 +25,8 @@ def summarize(history_path: str, keys: Optional[List[str]] = None) -> str:
     lines = ["epoch  train_loss  " + "  ".join(f"{k:>16s}" for k in keys)]
     for h in history:
         row = f"{h['epoch']:5d}  {h['train'].get('loss', float('nan')):10.2f}  "
-        row += "  ".join(f"{h['eval'].get(k, float('nan')):16.3f}" for k in keys)
+        ev = h.get("eval") or {}
+        row += "  ".join(f"{ev.get(k, float('nan')):16.3f}" for k in keys)
         lines.append(row)
     lines.append(f"#min={best.get('criterion', float('nan')):.3f} "
                  f"@epoch {best.get('epoch', -1)}")

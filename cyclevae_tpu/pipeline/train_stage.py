@@ -155,9 +155,19 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
                      {k: round(v, 3) for k, v in sorted(mean_train.items())},
                      time.time() - t_ep)
 
-        # checkpoint with RNG state (reference :711)
+        # checkpoint with RNG state (reference :711); non-eval epochs only
+        # refresh the rolling 'latest' to bound disk usage
+        eval_interval = getattr(tcfg, "eval_interval", 1)
+        is_eval_epoch = (epoch + 1) % max(eval_interval, 1) == 0
+        if is_eval_epoch:
+            save_checkpoint(expdir, ts.params, ts.opt_state, ts.rng, np_rng,
+                            epoch + 1)
         save_checkpoint(expdir, ts.params, ts.opt_state, ts.rng, np_rng,
-                        epoch + 1)
+                        epoch + 1, name="checkpoint-latest.pkl")
+        if not is_eval_epoch:
+            history.append({"epoch": epoch + 1, "train": mean_train,
+                            "eval": None})
+            continue
 
         # ---- eval epoch (reference :817-1152) ----
         ev: List[Dict[str, float]] = []

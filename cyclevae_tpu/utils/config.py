@@ -63,6 +63,7 @@ class TrainConfig:
     batch_size_utt_eval: int = 5
     pad_len: int = 2200
     epoch_count: int = 500
+    eval_interval: int = 1      # eval epoch every N training epochs
     seed: int = 1
     resume: Optional[str] = None
 
