@@ -265,6 +265,8 @@ std::vector<double> synthesize(const std::vector<double>& f0,
   };
 
   // ---- periodic part: pulses at pitch marks, amplitude sqrt(period) ----
+  // envelope/aperiodicity linearly interpolated at the pulse time (nearest-
+  // frame sampling leaves audible frame-rate steps in the spectra)
   std::vector<double> per_ps(half + 1);
   double t_s = 0.0;
   const double end_s = (n_frames - 1) * hop_s;
@@ -274,12 +276,18 @@ std::vector<double> synthesize(const std::vector<double>& f0,
       t_s += hop_s;  // skip through unvoiced regions
       continue;
     }
-    const int fr = frame_at(t_s);
-    const double* sp_row = &sp[(size_t)fr * (half + 1)];
-    const double* ap_row = &ap[(size_t)fr * (half + 1)];
+    const double pos = t_s / hop_s;
+    const int fr0 = std::clamp((int)pos, 0, n_frames - 1);
+    const int fr1 = std::min(fr0 + 1, n_frames - 1);
+    const double wfr = std::clamp(pos - fr0, 0.0, 1.0);
+    const double* sp0 = &sp[(size_t)fr0 * (half + 1)];
+    const double* sp1 = &sp[(size_t)fr1 * (half + 1)];
+    const double* ap0 = &ap[(size_t)fr0 * (half + 1)];
+    const double* ap1 = &ap[(size_t)fr1 * (half + 1)];
     for (int i = 0; i <= half; ++i) {
-      const double a = ap_row[i];
-      per_ps[i] = sp_row[i] * std::max(0.0, 1.0 - a * a);
+      const double s = sp0[i] * (1.0 - wfr) + sp1[i] * wfr;
+      const double a = ap0[i] * (1.0 - wfr) + ap1[i] * wfr;
+      per_ps[i] = s * std::max(0.0, 1.0 - a * a);
     }
     auto ir = min_phase_ir(per_ps.data(), fftl);
     const double period = fs / f;

@@ -205,15 +205,21 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
             outdir = os.path.join(expdir, f"wav_cv_ep{epoch}")
             wavs_src = paths.wavs(spk_src, eval_set=True)
             wavs_trg = paths.wavs(spk_trg, eval_set=True)
-            all_metrics = []
             key = jax.random.PRNGKey(4242)
-            for ws, wt in zip(wavs_src, wavs_trg):
-                key, k = jax.random.split(key)
-                m = decode_pair(codec, exp, k, ws, wt, outdir, f0stats, gv,
-                                sc_src.minf0, sc_src.maxf0,
-                                sc_trg.minf0, sc_trg.maxf0,
-                                sc_src.pow_threshold, sc_trg.pow_threshold)
-                all_metrics.append(m)
+            pairs = list(zip(wavs_src, wavs_trg))
+            keys = jax.random.split(key, len(pairs))
+            # thread fan-out: the C++ DSP (analysis/synthesis/DTW) releases
+            # the GIL, TPU codec calls serialize safely through JAX — the
+            # reference fans decode over n_gpus processes (decode…py:552-602)
+            from concurrent.futures import ThreadPoolExecutor
+            def one(i):
+                ws, wt = pairs[i]
+                return decode_pair(codec, exp, keys[i], ws, wt, outdir,
+                                   f0stats, gv, sc_src.minf0, sc_src.maxf0,
+                                   sc_trg.minf0, sc_trg.maxf0,
+                                   sc_src.pow_threshold, sc_trg.pow_threshold)
+            with ThreadPoolExecutor(max_workers=min(n_jobs, 8)) as ex:
+                all_metrics = list(ex.map(one, range(len(pairs))))
             agg = {k: float(np.mean([m[k] for m in all_metrics]))
                    for k in all_metrics[0]}
             agg_std = {f"{k}_std": float(np.std([m[k] for m in all_metrics]))

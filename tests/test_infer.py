@@ -204,3 +204,28 @@ def test_hmc_batched_chains_gaussian():
     np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.1)
     # autocorrelated draws -> wide variance CI; check the right scale only
     np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.5)
+
+
+def test_hmc_batch_utterance_logjoint():
+    """Batched-chain HMC through the real (tiny) decoder's batch axis."""
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+    from cyclevae_tpu.infer.logjoint import make_utterance_logjoint_batched
+    from cyclevae_tpu.infer.hmc import hmc_sample_batch
+
+    cfg = CycleVAEConfig(hidden_units=16, lat_dim=4)
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32), np.ones(54, np.float32))
+    T, C = 10, 3
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(T, 54)).astype(np.float32))
+    code = jnp.asarray(np.tile([0.0, 1.0], (T, 1)).astype(np.float32))
+    lj = make_utterance_logjoint_batched(params, cfg, feats, code,
+                                         obs_scale=50.0)
+    hcfg = HMCConfig(step_size=0.05, n_leapfrog=4, n_warmup=10, n_samples=10)
+    z0 = jnp.zeros((C, T, cfg.lat_dim))
+    samples, info = jax.jit(
+        lambda k, z: hmc_sample_batch(k, lj, z, hcfg))(jax.random.PRNGKey(1),
+                                                       z0)
+    assert samples.shape == (10, C, T, cfg.lat_dim)
+    assert np.isfinite(np.asarray(samples)).all()
+    assert 0.0 <= float(info["accept_prob"]) <= 1.0
