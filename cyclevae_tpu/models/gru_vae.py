@@ -102,16 +102,6 @@ def set_scale_stats(params: Dict, mean_in=None, scale_in=None,
     return params
 
 
-def trainable_mask(params: Dict) -> Dict:
-    """Pytree of bools: scale_in/scale_out frozen (reference train…py:369-372)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: not any(
-            getattr(p, "key", None) in ("scale_in", "scale_out") for p in path
-        ),
-        params,
-    )
-
-
 def init_hidden(cfg: GRURNNConfig, batch: int) -> jnp.ndarray:
     return jnp.zeros((cfg.hidden_layers, batch, cfg.hidden_units))
 

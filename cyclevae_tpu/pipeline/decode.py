@@ -28,11 +28,10 @@ from ..dsp import dtw as dtw_c
 from ..dsp import sptk, world
 from ..utils.config import ExperimentConfig
 from ..utils.hdf5 import read_hdf5, write_hdf5
-from ..utils.wavio import low_cut_filter, read_wav, write_wav
-from ..models.gru_vae import gru_rnn_apply, init_hidden, sampling_vae_batch
+from ..utils.wavio import low_cut_filter, low_pass_filter, read_wav, write_wav
+from ..models.gru_vae import gru_rnn_apply, sampling_vae_batch
 from ..vi.train import CycleVAEConfig, CycleVAEParams
 from .features import analyze, convert_continuos_f0, convert_f0, extfrm, mod_pow, spc2npow
-from ..utils.wavio import low_pass_filter
 
 
 def _feat_from_wav(x, fs, minf0, maxf0, pow_threshold, cfg_feat):
@@ -138,7 +137,6 @@ def decode_interpolated(codec: Codec, key, feat: np.ndarray,
                         weights) -> np.ndarray:
     """Convert an utterance's features to an interpolated speaker identity.
     Returns the converted mcep trajectory (T, out_dim)."""
-    import jax
     lat = codec.encode(feat)
     z = codec.latent_mean(key, lat)
     code = speaker_interp_code(len(z), codec.cfg.n_spk, weights)
