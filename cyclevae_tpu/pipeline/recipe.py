@@ -244,11 +244,15 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=40)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--decode-epoch", type=int, default=None)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume stage-4 training from")
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
     if args.epochs is not None:
         exp.train.epoch_count = args.epochs
+    if args.resume is not None:
+        exp.train.resume = args.resume
     paths = RecipePaths(wav_root=args.wav_root, work=args.work,
                         n_train=args.n_train)
     run_stages(args.stage, exp, paths, conf_dir=args.conf_dir,

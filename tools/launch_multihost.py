@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Multi-host launch helper.
+
+Replaces the reference's Kaldi dispatchers (src/utils/run.pl, slurm.pl +
+conf/slurm.conf — SURVEY.md §2.3 "multi-node scheduling"): instead of shell
+job arrays with the filesystem as data plane, the TPU framework runs ONE SPMD
+program per host.  This wrapper initializes jax.distributed from standard
+cluster environment variables and execs the recipe; under Slurm:
+
+    srun --ntasks-per-node=1 python tools/launch_multihost.py \
+         -m cyclevae_tpu --stage 4 --work /shared/work
+
+On Cloud TPU pods, `jax.distributed.initialize()` auto-detects the slice
+topology and this wrapper is a no-op passthrough.
+"""
+
+import os
+import runpy
+import sys
+
+
+def main():
+    import jax
+
+    kwargs = {}
+    # Slurm convention -> jax.distributed
+    if "SLURM_JOB_NUM_NODES" in os.environ and "SLURM_PROCID" in os.environ:
+        n = int(os.environ["SLURM_JOB_NUM_NODES"])
+        if n > 1:
+            nodelist = os.environ.get("SLURM_JOB_NODELIST", "")
+            coord = os.environ.get("CYCLEVAE_COORDINATOR",
+                                   nodelist.split(",")[0].split("[")[0])
+            kwargs = dict(
+                coordinator_address=f"{coord}:{os.environ.get('CYCLEVAE_PORT', '8476')}",
+                num_processes=n,
+                process_id=int(os.environ["SLURM_PROCID"]),
+            )
+    jax.distributed.initialize(**kwargs)
+    print(f"[launch_multihost] process {jax.process_index()}/{jax.process_count()}"
+          f" local devices: {jax.local_device_count()}"
+          f" global devices: {jax.device_count()}")
+
+    # exec the requested module/script with the remaining argv
+    argv = sys.argv[1:]
+    if argv and argv[0] == "-m":
+        mod = argv[1]
+        sys.argv = [mod] + argv[2:]
+        runpy.run_module(mod, run_name="__main__")
+    elif argv:
+        sys.argv = argv
+        runpy.run_path(argv[0], run_name="__main__")
+    else:
+        print("usage: launch_multihost.py -m <module> [args...] | <script> [args...]")
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
