@@ -39,7 +39,9 @@ from ..models.gru_vae import (
     init_gru_rnn,
     init_hidden,
     loss_vae,
+    loss_vae_laplace,
     sampling_vae_batch,
+    sampling_vae_laplace_batch,
 )
 from .elbo import mcd_l1
 
@@ -63,6 +65,7 @@ class CycleVAEConfig:
     n_cyc: int = 2
     do_prob: float = 0.5
     stdim: int = 4
+    posterior: str = "gauss"    # "gauss" | "laplace" (reference gru_vae.py:101-144)
 
     @property
     def half_cyc(self) -> bool:
@@ -155,6 +158,9 @@ def cyclic_forward(
     """
     n = cfg.eff_cyc
     lat_dim = cfg.lat_dim
+    laplace = cfg.posterior == "laplace"
+    sample_fn = sampling_vae_laplace_batch if laplace else sampling_vae_batch
+    clamp_kw = ({"clamp_vae_laplace": True} if laplace else {"clamp_vae": True})
     new_state = {k: v for k, v in state.items()}
     outs = {k: [] for k in ("lat", "lat_cv", "recon", "conv", "cyc_recon")}
     cyc_prev = None
@@ -169,11 +175,11 @@ def cyclic_forward(
         lat, y, h = gru_rnn_apply(
             params.encoder, cfg.enc_cfg, enc_in,
             state["enc_y"][i], state["enc_h"][i],
-            rng=ks[0], do=do, clamp_vae=True, lat_dim=lat_dim)
+            rng=ks[0], do=do, lat_dim=lat_dim, **clamp_kw)
         new_state["enc_y"] = new_state["enc_y"].at[i].set(y)
         new_state["enc_h"] = new_state["enc_h"].at[i].set(h)
 
-        z_src = sampling_vae_batch(ks[1], lat, lat_dim)
+        z_src = sample_fn(ks[1], lat, lat_dim)
         recon, y, h = gru_rnn_apply(
             params.decoder, cfg.dec_cfg,
             jnp.concatenate([src_code, z_src], axis=-1),
@@ -181,7 +187,7 @@ def cyclic_forward(
         new_state["dec_src_y"] = new_state["dec_src_y"].at[i].set(y)
         new_state["dec_src_h"] = new_state["dec_src_h"].at[i].set(h)
 
-        z_trg = sampling_vae_batch(ks[3], lat, lat_dim)
+        z_trg = sample_fn(ks[3], lat, lat_dim)
         conv, y, h = gru_rnn_apply(
             params.decoder, cfg.dec_cfg,
             jnp.concatenate([trg_code_i, z_trg], axis=-1),
@@ -193,11 +199,11 @@ def cyclic_forward(
             params.encoder, cfg.enc_cfg,
             jnp.concatenate([cv_excit_i, conv], axis=-1),
             state["enc_cv_y"][i], state["enc_cv_h"][i],
-            rng=ks[5], do=do, clamp_vae=True, lat_dim=lat_dim)
+            rng=ks[5], do=do, lat_dim=lat_dim, **clamp_kw)
         new_state["enc_cv_y"] = new_state["enc_cv_y"].at[i].set(y)
         new_state["enc_cv_h"] = new_state["enc_cv_h"].at[i].set(h)
 
-        z_cv = sampling_vae_batch(ks[6], lat_cv, lat_dim)
+        z_cv = sample_fn(ks[6], lat_cv, lat_dim)
         cyc_recon, y, h = gru_rnn_apply(
             params.decoder, cfg.dec_cfg,
             jnp.concatenate([src_code, z_cv], axis=-1),
@@ -238,8 +244,9 @@ def segment_loss(
         mcd_rec = mcd_l1(outputs["recon"][i], mcep, mask)          # (B,)
         mcd_cyc = mcd_l1(outputs["cyc_recon"][i], mcep, mask)
         mcd_cv = mcd_l1(outputs["conv"][i], mcep, mask)            # logged only
-        kl = loss_vae(outputs["lat"][i], cfg.lat_dim, mask)
-        kl_cv = loss_vae(outputs["lat_cv"][i], cfg.lat_dim, mask)
+        kl_fn = loss_vae_laplace if cfg.posterior == "laplace" else loss_vae
+        kl = kl_fn(outputs["lat"][i], cfg.lat_dim, mask)
+        kl_cv = kl_fn(outputs["lat_cv"][i], cfg.lat_dim, mask)
         if cfg.half_cyc:
             cyc_loss = mcd_rec + kl
         else:
