@@ -59,7 +59,9 @@ def _pad_batch_utts(batch: Dict, bsu: int) -> Dict:
 
 
 def _utt_eval_metrics(cfg: CycleVAEConfig, utt: Utterance,
-                      outs: Dict, j: int) -> Dict[str, float]:
+                      outs: Dict, j: int,
+                      gv_mean_trg: Optional[np.ndarray] = None
+                      ) -> Dict[str, float]:
     """Per-utterance eval metrics on cycle 0 (reference eval epoch
     train…py:817-1152 / decode metric definitions decode…py:363-404)."""
     stdim = cfg.stdim
@@ -71,6 +73,12 @@ def _utt_eval_metrics(cfg: CycleVAEConfig, utt: Utterance,
     conv = np.asarray(outs["conv"][0, j, :flen], dtype=np.float64)
 
     m: Dict[str, float] = {}
+    if gv_mean_trg is not None:
+        # GV log-RMSE of converted mcep vs target-speaker data GV
+        # (reference train…py:722-727 / gru_vae.py:508)
+        var_cv = np.var(conv[:, 1:], axis=0)
+        m["gv_log_rmse_cv"] = float(np.mean(np.sqrt(
+            (np.log(np.maximum(var_cv, 1e-12)) - np.log(gv_mean_trg)) ** 2)))
     # reconstruction / cyclic MCD over speech frames (power-incl and excl)
     m["mcdpow_rec"], _ = dtw_c.calc_mcd(recon[spc], mcep_src[spc])
     m["mcd_rec"], _ = dtw_c.calc_mcd(recon[spc][:, 1:], mcep_src[spc][:, 1:])
@@ -101,7 +109,6 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
     scale_jnt = read_hdf5(stats_jnt, "/scale_feat_org_lf0_jnt")
     gv_trg_mean = read_hdf5(stats_trg, "/gv_range_mean")[1:]
     gv_src_mean = read_hdf5(stats_src, "/gv_range_mean")[1:]
-    del gv_src_mean  # logged-only in this driver for now
 
     key = jax.random.PRNGKey(tcfg.seed)
     np_rng = np.random.default_rng(tcfg.seed)
@@ -182,7 +189,9 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
                 outs = eval_fn(ts.params, key_eval, jb)
                 outs = jax.tree_util.tree_map(np.asarray, outs)
                 for j, utt in enumerate(utts):
-                    ev.append(_utt_eval_metrics(cfg, utt, outs, j))
+                    # conversion target GV: the PARTNER speaker's data GV
+                    gv_t = gv_trg_mean if utt.is_src_speaker else gv_src_mean
+                    ev.append(_utt_eval_metrics(cfg, utt, outs, j, gv_t))
         agg = {}
         for k in ev[0]:
             vals = np.array([m[k] for m in ev])
