@@ -1,13 +1,14 @@
-from .logjoint import make_utterance_logjoint
-from .hmc import hmc_sample, HMCConfig
-from .nuts import nuts_sample, NUTSConfig
-from .smc import smc_filter, SMCConfig
+from .logjoint import make_utterance_logjoint, make_utterance_logjoint_batched
+from .hmc import hmc_sample, hmc_sample_batch, hmc_sample_chains, hmc_sample_sharded, HMCConfig
+from .nuts import nuts_sample, nuts_sample_chains, nuts_sample_sharded, NUTSConfig
+from .smc import smc_filter, smc_filter_sharded, make_decoder_ssm, SMCConfig
 from .dual_averaging import DualAveragingState, da_init, da_update, da_final
 
 __all__ = [
-    "make_utterance_logjoint",
-    "hmc_sample", "HMCConfig",
-    "nuts_sample", "NUTSConfig",
-    "smc_filter", "SMCConfig",
+    "make_utterance_logjoint", "make_utterance_logjoint_batched",
+    "hmc_sample", "hmc_sample_batch", "hmc_sample_chains",
+    "hmc_sample_sharded", "HMCConfig",
+    "nuts_sample", "nuts_sample_chains", "nuts_sample_sharded", "NUTSConfig",
+    "smc_filter", "smc_filter_sharded", "make_decoder_ssm", "SMCConfig",
     "DualAveragingState", "da_init", "da_update", "da_final",
 ]

@@ -274,3 +274,26 @@ def nuts_sample_chains(key, logjoint, z0_chains, cfg: NUTSConfig = NUTSConfig(),
     axis = "chains" if shared_adaptation else None
     return jax.vmap(lambda k, z: nuts_sample(k, logjoint, z, cfg, axis_name=axis),
                     axis_name="chains")(keys, z0_chains)
+
+
+def nuts_sample_sharded(mesh, key, logjoint, z0_chains,
+                        cfg: NUTSConfig = NUTSConfig()):
+    """NUTS chains sharded on the dp mesh axis (same collective-adaptation
+    scheme as hmc.hmc_sample_sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_chains = z0_chains.shape[0]
+    keys = jax.random.split(key, n_chains)
+
+    def local(keys, z0s):
+        def per_chain(k, z):
+            return nuts_sample(k, logjoint, z, cfg,
+                               axis_name=("chains", "dp"))
+        samples, info = jax.vmap(per_chain, axis_name="chains")(keys, z0s)
+        info = {k: jax.lax.pmean(v, "dp") for k, v in info.items()}
+        return samples, info
+
+    # check_vma=False: see hmc.hmc_sample_sharded
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P("dp"), P("dp")),
+                       out_specs=(P("dp"), P()), check_vma=False)
+    return fn(keys, z0_chains)

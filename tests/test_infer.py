@@ -229,3 +229,17 @@ def test_hmc_batch_utterance_logjoint():
     assert samples.shape == (10, C, T, cfg.lat_dim)
     assert np.isfinite(np.asarray(samples)).all()
     assert 0.0 <= float(info["accept_prob"]) <= 1.0
+
+
+def test_nuts_sharded_chains():
+    from cyclevae_tpu.parallel import make_mesh
+    from cyclevae_tpu.infer.nuts import nuts_sample_sharded
+    lj = make_gaussian_logjoint(MEAN, COV)
+    mesh = make_mesh(8)
+    cfg = NUTSConfig(step_size=0.2, max_depth=5, n_warmup=100, n_samples=200)
+    z0 = jnp.zeros((8, 4))
+    samples, info = nuts_sample_sharded(mesh, jax.random.PRNGKey(9), lj, z0,
+                                        cfg)
+    s = np.asarray(samples).reshape(-1, 4)
+    assert np.isfinite(s).all()
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.2)
