@@ -108,19 +108,19 @@ def save_config(cfg: ExperimentConfig, path: str):
         json.dump(_to_dict(cfg), f, indent=2)
 
 
+_SUBCONFIGS = {"feature": FeatureConfig, "model": ModelConfig,
+               "train": TrainConfig, "mesh": MeshConfig}
+
+
 def _from_dict(cls, d: Dict[str, Any]):
     kwargs = {}
     for f_ in dataclasses.fields(cls):
         if f_.name not in d:
             continue
         v = d[f_.name]
-        if dataclasses.is_dataclass(f_.type) or f_.type in (
-            FeatureConfig, ModelConfig, TrainConfig, MeshConfig,
-        ):
-            sub = {"feature": FeatureConfig, "model": ModelConfig,
-                   "train": TrainConfig, "mesh": MeshConfig}.get(f_.name)
-            if sub is not None and isinstance(v, dict):
-                v = _from_dict(sub, v)
+        sub = _SUBCONFIGS.get(f_.name)
+        if sub is not None and isinstance(v, dict):
+            v = _from_dict(sub, v)
         if f_.name == "axis_names" and isinstance(v, list):
             v = tuple(v)
         kwargs[f_.name] = v

@@ -141,3 +141,30 @@ def test_mult_dataset_surface(tmp_path):
     y = np.zeros((12, 3))
     xv, yv = validate_length(x, y, upsampling_factor=100)
     assert xv.shape[0] == 1000 and yv.shape[0] == 10
+
+
+def test_config_json_roundtrip(tmp_path):
+    from cyclevae_tpu.utils.config import (
+        ExperimentConfig, ModelConfig, TrainConfig, load_config, save_config)
+    exp = ExperimentConfig(
+        model=ModelConfig(hidden_units=77, spk_src="X", spk_trg="Y"),
+        train=TrainConfig(lr=3e-4, epoch_count=9, eval_interval=3))
+    p = str(tmp_path / "model.json")
+    save_config(exp, p)
+    back = load_config(p)
+    assert back.model.hidden_units == 77
+    assert back.model.spk_src == "X"
+    assert back.train.lr == 3e-4
+    assert back.train.eval_interval == 3
+    assert back.name() == exp.name()
+
+
+def test_read_spk_conf_files(tmp_path):
+    from cyclevae_tpu.pipeline.recipe import _read_spk_conf
+    (tmp_path / "SPKZ.f0").write_text("111 333\n")
+    (tmp_path / "SPKZ.pow").write_text("-27.5\n")
+    sc = _read_spk_conf(str(tmp_path), "SPKZ")
+    assert sc.minf0 == 111 and sc.maxf0 == 333 and sc.pow_threshold == -27.5
+    # falls back to defaults for unknown speakers
+    sc2 = _read_spk_conf(str(tmp_path), "NOPE")
+    assert sc2.minf0 > 0
