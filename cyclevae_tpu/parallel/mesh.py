@@ -71,13 +71,18 @@ def make_sharded_train_step(cfg, optimizer, seg_len: int, n_segs: int,
             batch["feats"].dtype)
 
         def to_segs(x):
+            if x.ndim == 4:  # (n_cyc, B, T, D) per-cycle many-to-many arrays
+                xr = x[:, :, :T].reshape(x.shape[0], x.shape[1], n_segs,
+                                         seg_len, x.shape[3])
+                return jnp.moveaxis(xr, 2, 0)
+            x = x[:, :T]
             return x.reshape(x.shape[0], n_segs, seg_len, *x.shape[2:]).swapaxes(0, 1)
 
         segs = {
-            "feats": to_segs(batch["feats"][:, :T]),
-            "src_code": to_segs(batch["src_code"][:, :T]),
-            "trg_code": to_segs(batch["trg_code"][:, :T]),
-            "cv_excit": to_segs(batch["cv_excit"][:, :T]),
+            "feats": to_segs(batch["feats"]),
+            "src_code": to_segs(batch["src_code"]),
+            "trg_code": to_segs(batch["trg_code"]),
+            "cv_excit": to_segs(batch["cv_excit"]),
             "mask": to_segs(mask_full),
         }
         state0 = init_cycle_state(cfg, ts.params, B)
