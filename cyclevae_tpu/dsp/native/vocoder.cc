@@ -65,23 +65,37 @@ std::vector<double> spectral_envelope(const double* x, int n, int fs,
     const double floor_val = 1e-12;
     for (auto& v : ps) v = std::max(v, floor_val);
 
-    // rectangular smoothing of width (2/3) f0 in frequency
+    // rectangular smoothing of width (2/3) f0 in frequency, evaluated as a
+    // CONTINUOUS integral over the linearly-interpolated spectrum (integer-bin
+    // moving averages leave residual harmonic interference -> frame-to-frame
+    // envelope variance)
     const double bin_hz = (double)fs / fftl;
     const double ws = (2.0 / 3.0) * f;
-    const int wbins = std::max(1, (int)std::llround(ws / bin_hz));
+    const double wb = ws / bin_hz;  // smoothing width in (fractional) bins
     std::vector<double> smoothed(half + 1);
-    // reflect-padded moving average over (2*wb2+1) bins
-    const int wb2 = wbins / 2;
-    for (int i = 0; i <= half; ++i) {
-      double acc = 0.0;
-      for (int j = -wb2; j <= wb2; ++j) {
-        int k = i + j;
-        if (k < 0) k = -k;
-        if (k > half) k = 2 * half - k;
-        acc += ps[k];
-      }
-      smoothed[i] = acc / (2 * wb2 + 1);
+    // cumulative integral of the reflect-extended spectrum (trapezoid)
+    const int ext = half + 1 + (int)wb + 2;
+    auto ps_at = [&](int k) {
+      if (k < 0) k = -k;
+      if (k > half) k = 2 * half - k;
+      return ps[std::clamp(k, 0, half)];
+    };
+    std::vector<double> cum(2 * ext + 1, 0.0);  // index i -> bin (i - ext)
+    for (int i = 1; i <= 2 * ext; ++i) {
+      const int b0 = i - 1 - ext, b1 = i - ext;
+      cum[i] = cum[i - 1] + 0.5 * (ps_at(b0) + ps_at(b1));
     }
+    auto cum_at = [&](double b) {  // integral from bin -ext to fractional bin b
+      const double pos = b + ext;
+      const int i0 = std::clamp((int)std::floor(pos), 0, 2 * ext - 1);
+      const double frac = pos - i0;
+      // quadratic within the trapezoid cell (linear spectrum segment)
+      const int b0 = i0 - ext, b1 = i0 + 1 - ext;
+      const double p0 = ps_at(b0), p1 = ps_at(b1);
+      return cum[i0] + frac * p0 + 0.5 * frac * frac * (p1 - p0);
+    };
+    for (int i = 0; i <= half; ++i)
+      smoothed[i] = (cum_at(i + wb / 2) - cum_at(i - wb / 2)) / wb;
 
     // cepstral liftering: sinc smoothing lifter + q1 compensation lifter
     std::vector<cplx> lsp(half + 1);
