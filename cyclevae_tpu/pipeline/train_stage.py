@@ -146,6 +146,18 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
 
     history = []
     best = {"criterion": np.inf, "epoch": -1}
+    if resume:
+        # continue the experiment's history/best across the restart
+        hist_path = os.path.join(expdir, "history.json")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                prev = json.load(f)
+            history = [h for h in prev.get("history", [])
+                       if h["epoch"] <= start_epoch]
+            prev_best = prev.get("best", {})
+            if prev_best.get("epoch", -1) <= start_epoch and \
+                    np.isfinite(prev_best.get("criterion", np.inf)):
+                best = prev_best
 
     for epoch in range(start_epoch, tcfg.epoch_count):
         t_ep = time.time()
