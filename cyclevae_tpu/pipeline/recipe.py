@@ -95,6 +95,23 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
     def split(files):
         return files[:paths.n_train], files[paths.n_train:]
 
+    # Reference split semantics (run.sh:222-237): the SOURCE speaker trains on
+    # the FIRST n_train utterances, the TARGET speaker on the REMAINING tail —
+    # disjoint sentence sets, so training is truly non-parallel.  The opposite
+    # half of each speaker provides the sentence-parallel counterpart used
+    # ONLY for eval-time DTW alignment (train_src_trg / train_trg_src).
+    def train_lists():
+        src_head, src_tail = split(paths.h5s(spk_src))
+        trg_head, trg_tail = split(paths.h5s(spk_trg))
+        n_head = min(len(src_head), len(trg_head))
+        n_tail = min(len(src_tail), len(trg_tail))
+        return {
+            "train_src": src_head[:n_head],
+            "train_src_pair": trg_head[:n_head],   # same sentences, trg voice
+            "train_trg": trg_tail[:n_tail],
+            "train_trg_pair": src_tail[:n_tail],   # same sentences, src voice
+        }
+
     if "1" in stages:
         from .features import extract_features
         for spk in speakers:
@@ -121,11 +138,10 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
 
     if "2" in stages:
         from .stats import calc_stats, calc_stats_joint
-        train_src, _ = split(paths.h5s(spk_src))
-        train_trg, _ = split(paths.h5s(spk_trg))
-        calc_stats(train_src, paths.stats(spk_src), spkr=spk_src)
-        calc_stats(train_trg, paths.stats(spk_trg), spkr=spk_trg)
-        calc_stats_joint(train_src, train_trg, paths.stats_jnt())
+        tl = train_lists()
+        calc_stats(tl["train_src"], paths.stats(spk_src), spkr=spk_src)
+        calc_stats(tl["train_trg"], paths.stats(spk_trg), spkr=spk_trg)
+        calc_stats_joint(tl["train_src"], tl["train_trg"], paths.stats_jnt())
         logging.info("stage 2 done: %s", paths.stats_jnt())
 
     if "3" in stages:
@@ -143,15 +159,11 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
 
     if "4" in stages:
         from .train_stage import run_train
-        src_all = paths.h5s(spk_src)
-        trg_all = paths.h5s(spk_trg)
-        train_src, pair_src = split(src_all)
-        train_trg, pair_trg = split(trg_all)
-        n_pair = min(len(train_src), len(train_trg))
+        tl = train_lists()
         summary = run_train(
             exp,
-            feats_src=train_src[:n_pair], feats_src_pair=train_trg[:n_pair],
-            feats_trg=train_trg[:n_pair], feats_trg_pair=train_src[:n_pair],
+            feats_src=tl["train_src"], feats_src_pair=tl["train_src_pair"],
+            feats_trg=tl["train_trg"], feats_trg_pair=tl["train_trg_pair"],
             feats_eval_src=paths.h5s(spk_src, True),
             feats_eval_trg=paths.h5s(spk_trg, True),
             stats_src=paths.stats(spk_src), stats_trg=paths.stats(spk_trg),
@@ -178,10 +190,10 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
 
         if "5" in stages:
             from .decode import calc_cvgv
-            train_src, _ = split(paths.h5s(spk_src))
-            train_trg, _ = split(paths.h5s(spk_trg))
+            tl = train_lists()
             out = calc_cvgv(codec, exp, jax.random.PRNGKey(decode_epoch or 0),
-                            train_src, train_trg, paths.stats(spk_src), model_id)
+                            tl["train_src"], tl["train_trg"],
+                            paths.stats(spk_src), model_id)
             logging.info("stage 5 done: %s",
                          {k: v.mean() for k, v in out.items()})
 
