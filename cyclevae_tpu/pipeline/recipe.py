@@ -39,7 +39,19 @@ class SpeakerConf:
 # bundled VCC2018 speaker settings (reference egs/one-to-one/conf/)
 DEFAULT_SPEAKERS: Dict[str, SpeakerConf] = {
     "VCC2SF1": SpeakerConf(130.0, 427.0, -40.0),
-    "VCC2TF1": SpeakerConf(148.0, 458.0, -30.0),
+    "VCC2SF2": SpeakerConf(121.0, 341.0, -35.5),
+    "VCC2SF3": SpeakerConf(132.0, 318.0, -45.0),
+    "VCC2SF4": SpeakerConf(125.0, 360.0, -36.0),
+    "VCC2SM1": SpeakerConf(60.0, 199.0, -34.5),
+    "VCC2SM2": SpeakerConf(86.0, 275.0, -35.0),
+    "VCC2SM3": SpeakerConf(58.0, 210.0, -38.5),
+    "VCC2SM4": SpeakerConf(57.0, 247.0, -34.5),
+    "VCC2TF1": SpeakerConf(138.0, 343.0, -45.5),
+    "VCC2TF2": SpeakerConf(127.0, 400.0, -35.0),
+    "VCC2TM1": SpeakerConf(64.0, 220.0, -29.0),
+    "VCC2TM2": SpeakerConf(85.0, 265.0, -35.5),
+    "bdl": SpeakerConf(61.0, 257.0, -28.0),
+    "slt": SpeakerConf(132.0, 325.0, -28.5),
 }
 
 
