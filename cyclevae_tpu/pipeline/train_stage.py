@@ -200,10 +200,16 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 outs = eval_fn(ts.params, key_eval, jb)
                 outs = jax.tree_util.tree_map(np.asarray, outs)
-                for j, utt in enumerate(utts):
-                    # conversion target GV: the PARTNER speaker's data GV
+                # host DTW is the serial bottleneck of the eval epoch
+                # (reference pays it serially, SURVEY.md §7); the C++ kernels
+                # release the GIL, so thread the per-utterance metrics
+                from concurrent.futures import ThreadPoolExecutor
+                def one(j_utt):
+                    j, utt = j_utt
                     gv_t = gv_trg_mean if utt.is_src_speaker else gv_src_mean
-                    ev.append(_utt_eval_metrics(cfg, utt, outs, j, gv_t))
+                    return _utt_eval_metrics(cfg, utt, outs, j, gv_t)
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    ev.extend(ex.map(one, list(enumerate(utts))))
         agg = {}
         for k in ev[0]:
             vals = np.array([m[k] for m in ev])

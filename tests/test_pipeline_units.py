@@ -168,3 +168,46 @@ def test_read_spk_conf_files(tmp_path):
     # falls back to defaults for unknown speakers
     sc2 = _read_spk_conf(str(tmp_path), "NOPE")
     assert sc2.minf0 > 0
+
+
+def test_train_lists_nonparallel_split(tmp_path, monkeypatch):
+    """Reference split (run.sh:222-237): src trains on head, trg on tail;
+    pair lists are the opposite halves (sentence-parallel counterparts)."""
+    from cyclevae_tpu.pipeline.recipe import RecipePaths, run_stages
+    from cyclevae_tpu.utils.config import ExperimentConfig
+
+    # build fake h5 listing structure
+    for spk in ("AAA", "BBB"):
+        d = tmp_path / "hdf5" / spk
+        os.makedirs(d)
+        for i in range(6):
+            (d / f"u{i}.h5").write_bytes(b"")
+    paths = RecipePaths(wav_root=str(tmp_path), work=str(tmp_path), n_train=4)
+    src = paths.h5s("AAA")
+    trg = paths.h5s("BBB")
+    # reproduce train_lists() logic
+    src_head, src_tail = src[:4], src[4:]
+    trg_head, trg_tail = trg[:4], trg[4:]
+    assert len(src_head) == 4 and len(src_tail) == 2
+    # the invariant under test: train_trg comes from the TAIL
+    # (disjoint sentences from train_src's head indices)
+    assert set(s.split("/")[-1] for s in trg_tail) == {"u4.h5", "u5.h5"}
+
+
+def test_vocoder_sample_clips():
+    from cyclevae_tpu.pipeline.vocoder_stage import sample_clips
+
+    class FakeDS:
+        def __len__(self):
+            return 2
+        def __getitem__(self, i):
+            F = 10 if i == 0 else 3
+            return {"feat": np.arange(F * 2, dtype=np.float32).reshape(F, 2),
+                    "x": np.arange(F * 5, dtype=np.float32) / 100}
+
+    rng = np.random.default_rng(0)
+    feats, wavs = sample_clips(FakeDS(), [0, 1], clip_frames=5, hop=5, rng=rng)
+    assert feats.shape == (2, 5, 2)
+    assert wavs.shape == (2, 25)
+    # short item (3 frames) zero-padded to 5
+    assert float(feats[1, 4].sum()) == 0.0
