@@ -23,3 +23,17 @@ Sub-packages
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "/tmp/cyclevae_jax_cache"):
+    """Persistent XLA compilation cache: new processes reuse compiled programs
+    (the tunneled TPU attachment compiles remotely at ~30-90 s per program, so
+    per-process recompiles dominate short runs). Called by the recipe CLI and
+    bench entry points; safe to call multiple times."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without these flags: degrade gracefully
+        pass

@@ -94,6 +94,8 @@ def _read_spk_conf(conf_dir: Optional[str], spk: str) -> SpeakerConf:
 def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                conf_dir: Optional[str] = None, n_jobs: int = 8,
                decode_epoch: Optional[int] = None):
+    from .. import enable_compilation_cache
+    enable_compilation_cache()
     spk_src = exp.model.spk_src
     spk_trg = exp.model.spk_trg
     speakers = [spk_src, spk_trg]
