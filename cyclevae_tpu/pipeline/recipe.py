@@ -67,7 +67,10 @@ class RecipePaths:
         return sorted(find_files(d, "*.wav"))
 
     def h5dir(self, spk: str, eval_set: bool = False) -> str:
-        sub = f"eval_{spk}" if eval_set else spk
+        # NOTE: the parent directory name IS the speaker identity (the
+        # datasets' code-assignment contract, reference dataset.py:75-80) —
+        # eval sets therefore live under eval/<spk>/, never eval_<spk>/
+        sub = os.path.join("eval", spk) if eval_set else spk
         return os.path.join(self.work, "hdf5", sub)
 
     def h5s(self, spk: str, eval_set: bool = False) -> List[str]:

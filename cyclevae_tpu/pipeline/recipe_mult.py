@@ -1,0 +1,87 @@
+"""Many-to-many recipe driver.
+
+The reference defines the many-to-many data surface but ships no recipe for
+it (SURVEY.md §2.2 — the training binary lives in the successor repo).  This
+driver completes it end-to-end on top of the same per-speaker feature/stats
+artifacts as the one-to-one recipe:
+
+  stage 3m  per-partner converted excitation (/cvuvlogf0fil_ap_<spk>)
+  stage 4m  N-speaker CycleVAE training (random conversion pair per cycle)
+
+Usage:
+  python -m cyclevae_tpu.pipeline.recipe_mult --work /path/to/work \
+      --src-speakers VCC2SF1 --trg-speakers VCC2TF1 VCC2TF2 --stage 34
+(stages 1/2 are shared with the one-to-one recipe: run them per speaker
+first with `python -m cyclevae_tpu --stage 12`.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import List
+
+from ..utils.config import ExperimentConfig, load_config
+from .recipe import RecipePaths
+
+
+def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
+                    spk_src_list: List[str], spk_trg_list: List[str]):
+    from .. import enable_compilation_cache
+    enable_compilation_cache()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %I:%M:%S")
+    all_spk = list(spk_src_list) + list(spk_trg_list)
+
+    if "3" in stages:
+        from .stats import extract_cv_excitation_mult
+        for spk in all_spk:
+            partners = {s: paths.stats(s) for s in all_spk if s != spk}
+            for eval_set in (False, True):
+                files = paths.h5s(spk, eval_set)
+                if files:
+                    extract_cv_excitation_mult(files, paths.stats(spk),
+                                               partners, exp.feature.fs,
+                                               exp.feature.shiftms)
+        logging.info("stage 3m done")
+
+    if "4" in stages:
+        from .stats import calc_stats_joint
+        from .train_stage_mult import run_train_mult
+        # joint stats across ALL speakers' train halves
+        train_files, eval_files = [], []
+        for spk in all_spk:
+            train_files += paths.h5s(spk)[:paths.n_train]
+            eval_files += paths.h5s(spk, True)
+        stats_jnt = os.path.join(paths.work, "stats", "stats_jnt_mult.h5")
+        calc_stats_joint(train_files, [], stats_jnt)
+        expdir = os.path.join(paths.work, "exp", exp.name() + "_m2m")
+        summary = run_train_mult(exp, train_files, eval_files, spk_src_list,
+                                 spk_trg_list, stats_jnt, expdir)
+        logging.info("stage 4m done: %d epochs", len(summary["history"]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cyclevae_tpu.recipe_mult")
+    p.add_argument("--stage", default="34")
+    p.add_argument("--work", required=True)
+    p.add_argument("--src-speakers", nargs="+", required=True)
+    p.add_argument("--trg-speakers", nargs="+", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--n-train", type=int, default=40)
+    args = p.parse_args(argv)
+    exp = load_config(args.config) if args.config else ExperimentConfig()
+    if args.epochs is not None:
+        exp.train.epoch_count = args.epochs
+    exp.model.n_spk = len(args.src_speakers) + len(args.trg_speakers)
+    paths = RecipePaths(wav_root="", work=args.work, n_train=args.n_train)
+    run_mult_stages(args.stage, exp, paths, args.src_speakers,
+                    args.trg_speakers)
+
+
+if __name__ == "__main__":
+    main()
