@@ -19,6 +19,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cyclevae_tpu import enable_compilation_cache
+    enable_compilation_cache()
+
     from cyclevae_tpu.vi.train import (
         CycleVAEConfig, TrainState, init_cyclevae, make_optimizer,
         make_train_step)
