@@ -136,3 +136,27 @@ def test_resume_reproduces_trajectory(corpus, tmp_path):
     assert a["epoch"] == b["epoch"] == 2
     assert abs(a["train"]["loss"] - b["train"]["loss"]) < 1e-3 * abs(a["train"]["loss"])
     assert abs(a["eval"]["criterion"] - b["eval"]["criterion"]) < 1e-4
+
+
+def test_m2m_recipe_on_synthetic(corpus, tmp_path):
+    """Many-to-many recipe stages 3m+4m on the synthetic corpus (after the
+    shared per-speaker stages 1-2)."""
+    from cyclevae_tpu.pipeline.recipe import (
+        DEFAULT_SPEAKERS, RecipePaths, SpeakerConf, run_stages)
+    from cyclevae_tpu.pipeline.recipe_mult import run_mult_stages
+
+    DEFAULT_SPEAKERS.setdefault("SPKA", SpeakerConf(70.0, 400.0, -25.0))
+    DEFAULT_SPEAKERS.setdefault("SPKB", SpeakerConf(100.0, 500.0, -25.0))
+    exp = ExperimentConfig(
+        model=ModelConfig(hidden_units=16, n_cyc=2, lat_dim=4, n_spk=2,
+                          spk_src="SPKA", spk_trg="SPKB"),
+        train=TrainConfig(batch_size=40, batch_size_utt=2,
+                          batch_size_utt_eval=2, epoch_count=1, lr=1e-3))
+    paths = RecipePaths(wav_root=str(corpus), work=str(tmp_path / "wm"),
+                        n_train=2)
+    run_stages("12", exp, paths, n_jobs=2)
+    run_mult_stages("34", exp, paths, ["SPKA"], ["SPKB"])
+    import json
+    hist = json.load(open(os.path.join(paths.work, "exp",
+                                       exp.name() + "_m2m", "history.json")))
+    assert np.isfinite(hist["history"][0]["train"]["loss"])
