@@ -60,3 +60,15 @@ def test_mod_pow_device_close_to_host():
     # host uses irlen-truncated IR energy; spectral form agrees closely
     np.testing.assert_allclose(dev[:, 0], host[:, 0], atol=5e-3)
     np.testing.assert_allclose(dev[:, 1:], host[:, 1:], atol=1e-7)
+
+
+def test_gv_log_rmse_matches_eval_epoch_numpy():
+    from cyclevae_tpu.vi.elbo import gv_log_rmse
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 40, 9)).astype(np.float32) * 2 + 1
+    gv_mean = np.abs(rng.normal(size=9)) + 0.5
+    # numpy form used by the train_stage eval epoch
+    var_x = np.var(x[0], axis=0)
+    ref = float(np.mean(np.sqrt((np.log(var_x) - np.log(gv_mean)) ** 2)))
+    ours = float(gv_log_rmse(jnp.asarray(x), jnp.asarray(gv_mean))[0])
+    assert abs(ours - ref) < 1e-5
