@@ -242,3 +242,38 @@ def test_laplace_posterior_training_mode():
         hist.append(float(jnp.sum(m["loss"])))
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_two_layer_gru_train_step():
+    """hidden_layers=2 (reference --hidden_layers surface) through the full
+    train step; pallas path must also fall back cleanly."""
+    from cyclevae_tpu.vi.train import (
+        CycleVAEConfig, TrainState, init_cyclevae, make_optimizer,
+        make_train_step)
+    cfg = CycleVAEConfig(hidden_units=12, hidden_layers=2, n_cyc=1, lat_dim=4)
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32), np.ones(54, np.float32))
+    assert len(params.encoder["gru"]) == 2
+    B, seg, n_segs = 2, 10, 2
+    T = seg * n_segs
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(B, T, 54)).astype(np.float32)
+    batch = {"feats": jnp.asarray(feats),
+             "src_code": jnp.asarray(np.tile([1., 0.], (B, T, 1)).astype(np.float32)),
+             "trg_code": jnp.asarray(np.tile([0., 1.], (B, T, 1)).astype(np.float32)),
+             "cv_excit": jnp.asarray(feats[..., :4]),
+             "flens": jnp.asarray([T, T], dtype=np.int32)}
+    opt = make_optimizer(cfg, lr=1e-3)
+    ts = TrainState(params, opt.init(params), jax.random.PRNGKey(1),
+                    jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, opt, seg, n_segs)
+    ts, m = step(ts, batch)
+    assert np.isfinite(float(jnp.sum(m["loss"])))
+
+    # pallas flag on a 2-layer net must fall back to the scan without error
+    from cyclevae_tpu.models.gru_vae import gru_rnn_apply
+    out, _, _ = gru_rnn_apply(params.encoder, cfg.enc_cfg,
+                              jnp.asarray(feats[:, :10]),
+                              jnp.zeros((B, cfg.lat_dim * 2)),
+                              use_pallas=True)
+    assert out.shape == (B, 10, cfg.lat_dim * 2)
