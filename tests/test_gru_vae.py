@@ -271,7 +271,9 @@ def test_two_layer_gru_train_step():
     assert np.isfinite(float(jnp.sum(m["loss"])))
 
     # pallas flag on a 2-layer net must fall back to the scan without error
+    # (params was donated into the step; use the updated copy)
     from cyclevae_tpu.models.gru_vae import gru_rnn_apply
+    params = ts.params
     out, _, _ = gru_rnn_apply(params.encoder, cfg.enc_cfg,
                               jnp.asarray(feats[:, :10]),
                               jnp.zeros((B, cfg.lat_dim * 2)),
