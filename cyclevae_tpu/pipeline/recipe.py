@@ -188,7 +188,7 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
             resume=exp.train.resume)
         logging.info("stage 4 done: best=%s", summary["best"])
 
-    if "5" in stages or "6" in stages:
+    if "5" in stages or "6" in stages or "i" in stages:
         import jax
         from ..vi.checkpoint import load_checkpoint
         from ..vi.train import CycleVAEParams
@@ -259,6 +259,16 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                 json.dump(agg, f, indent=2)
             logging.info("stage 6 done: %s", {k: round(v, 3)
                                               for k, v in agg.items()})
+
+        if "i" in stages:
+            # posterior-inference stage (no reference counterpart): HMC
+            # posterior over eval utterance latents + posterior-predictive
+            # conversion stats written to posterior.h5
+            from .infer_stage import run_infer_stage
+            out_h5 = os.path.join(expdir, f"posterior_ep{epoch}.h5")
+            res = run_infer_stage(codec.params, codec.cfg,
+                                  paths.h5s(spk_src, True)[:4], out_h5)
+            logging.info("stage i done: %s", res)
 
 
 def main(argv=None):
