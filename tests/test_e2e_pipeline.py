@@ -160,3 +160,26 @@ def test_m2m_recipe_on_synthetic(corpus, tmp_path):
     hist = json.load(open(os.path.join(paths.work, "exp",
                                        exp.name() + "_m2m", "history.json")))
     assert np.isfinite(hist["history"][0]["train"]["loss"])
+
+    # m2m decode: named target and interpolated speaker code
+    import jax
+    import jax.numpy as jnp
+    from cyclevae_tpu.pipeline.decode import Codec
+    from cyclevae_tpu.pipeline.decode_mult import decode_to_speaker
+    from cyclevae_tpu.pipeline.train_stage import model_config
+    from cyclevae_tpu.vi.checkpoint import load_checkpoint
+    from cyclevae_tpu.vi.train import CycleVAEParams
+    ckpt = load_checkpoint(os.path.join(paths.work, "exp",
+                                        exp.name() + "_m2m",
+                                        "checkpoint-1.pkl"))
+    params = CycleVAEParams(*jax.tree_util.tree_map(jnp.asarray,
+                                                    ckpt["params"]))
+    codec = Codec(params, model_config(exp), n_smpl_dec=10)
+    wav = str(corpus / "eval" / "SPKA" / "e0.wav")
+    outdir = str(tmp_path / "m2m_dec")
+    out = decode_to_speaker(codec, exp, paths, wav, "SPKA",
+                            ["SPKA", "SPKB"], "SPKB", outdir)
+    assert os.path.exists(out["_noGV"]) and os.path.exists(out["_GV"])
+    out2 = decode_to_speaker(codec, exp, paths, wav, "SPKA",
+                             ["SPKA", "SPKB"], [0.5, 0.5], outdir)
+    assert "mix-0.50-0.50" in out2["_noGV"]
