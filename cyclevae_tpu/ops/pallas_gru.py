@@ -19,7 +19,7 @@ reset gate multiplies only the hidden-side candidate including its bias.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

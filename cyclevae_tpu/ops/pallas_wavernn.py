@@ -19,7 +19,7 @@ greedy mode matches exactly; sampled mode matches in distribution).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
