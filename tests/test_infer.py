@@ -299,3 +299,61 @@ def test_guided_smc_beats_bootstrap_ess():
     # with an UNTRAINED encoder the proposal is near the prior; the guided
     # path must at minimum run correctly and keep comparable ESS
     assert ess["amortized"] > 0.2 * ess["prior"], ess
+
+
+def test_nuts_batched_chains_gaussian():
+    from cyclevae_tpu.infer.nuts_batch import nuts_sample_batch
+
+    def lj_batch(z):  # (C, 4) -> (C,)
+        return -0.5 * jnp.sum((z - MEAN) ** 2 / COV, axis=-1)
+
+    cfg = NUTSConfig(step_size=0.3, max_depth=6, n_warmup=200, n_samples=600)
+    z0 = jnp.zeros((8, 4))
+    samples, info = jax.jit(
+        lambda k, z: nuts_sample_batch(k, lj_batch, z, cfg))(
+            jax.random.PRNGKey(13), z0)
+    s = np.asarray(samples).reshape(-1, 4)
+    assert float(info["divergence_rate"]) < 0.05
+    np.testing.assert_allclose(s.mean(0), np.asarray(MEAN), atol=0.12)
+    np.testing.assert_allclose(s.var(0), np.asarray(COV), rtol=0.4)
+
+
+def test_nuts_batched_correlated():
+    from cyclevae_tpu.infer.nuts_batch import nuts_sample_batch
+    cov = np.array([[1.0, 0.8], [0.8, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mean = jnp.asarray([1.0, -1.0])
+
+    def lj_batch(z):
+        d = z - mean
+        return -0.5 * jnp.einsum("ci,ij,cj->c", d, prec, d)
+
+    cfg = NUTSConfig(step_size=0.3, max_depth=6, n_warmup=200, n_samples=800)
+    samples, info = jax.jit(
+        lambda k, z: nuts_sample_batch(k, lj_batch, z, cfg))(
+            jax.random.PRNGKey(14), jnp.zeros((6, 2)))
+    s = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.12)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.25)
+
+
+def test_nuts_batched_utterance_logjoint():
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+    from cyclevae_tpu.infer.logjoint import make_utterance_logjoint_batched
+    from cyclevae_tpu.infer.nuts_batch import nuts_sample_batch
+
+    cfg = CycleVAEConfig(hidden_units=16, lat_dim=4)
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32), np.ones(54, np.float32))
+    T, C = 8, 3
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(T, 54)).astype(np.float32))
+    code = jnp.asarray(np.tile([0.0, 1.0], (T, 1)).astype(np.float32))
+    lj = make_utterance_logjoint_batched(params, cfg, feats, code,
+                                         obs_scale=50.0)
+    ncfg = NUTSConfig(step_size=0.05, max_depth=4, n_warmup=5, n_samples=8)
+    samples, info = jax.jit(
+        lambda k, z: nuts_sample_batch(k, lj, z, ncfg))(
+            jax.random.PRNGKey(1), jnp.zeros((C, T, cfg.lat_dim)))
+    assert samples.shape == (8, C, T, cfg.lat_dim)
+    assert np.isfinite(np.asarray(samples)).all()
