@@ -211,3 +211,25 @@ def test_vocoder_sample_clips():
     assert wavs.shape == (2, 25)
     # short item (3 frames) zero-padded to 5
     assert float(feats[1, 4].sum()) == 0.0
+
+
+def test_background_generator_prefetch_and_errors():
+    from cyclevae_tpu.utils.prefetch import BackgroundGenerator, background
+
+    assert list(BackgroundGenerator(iter(range(5)), max_prefetch=2)) == \
+        [0, 1, 2, 3, 4]
+
+    @background(max_prefetch=1)
+    def gen():
+        yield from "abc"
+
+    assert list(gen()) == ["a", "b", "c"]
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = BackgroundGenerator(bad())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
