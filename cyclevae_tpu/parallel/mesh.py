@@ -40,11 +40,19 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def batch_spec(ndim: int) -> P:
+    """PartitionSpec for a batch array: the utterance/chain/particle axis is
+    sharded on ``dp``.  That axis is axis 0 for 1-3D arrays but axis 1 for the
+    4-D many-to-many per-cycle arrays (n_cyc, B, T, D) — n_cyc (typically 2)
+    rarely divides the device count, and it is not the data axis anyway."""
+    return P(None, "dp") if ndim == 4 else P("dp")
+
+
 def shard_batch(mesh: Mesh, batch: Dict):
-    """Shard batch-like arrays along their leading (utterance/chain/particle)
-    axis over ``dp``."""
-    sharding = NamedSharding(mesh, P("dp"))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    """Shard batch-like arrays along their utterance/chain/particle axis over
+    ``dp`` (ndim-aware, see batch_spec)."""
+    return {k: jax.device_put(v, NamedSharding(mesh, batch_spec(np.ndim(v))))
+            for k, v in batch.items()}
 
 
 def make_sharded_train_step(cfg, optimizer, seg_len: int, n_segs: int,
@@ -56,57 +64,12 @@ def make_sharded_train_step(cfg, optimizer, seg_len: int, n_segs: int,
     cross-device psum automatically; every device applies identical Adam
     updates (gradients are reduced before the update inside jit).
     """
-    from ..vi.train import TrainState, init_cycle_state, segment_loss
-    import jax.numpy as jnp
-    import optax
+    from ..vi.train import build_step_fn
 
-    repl = NamedSharding(mesh, P())
-    dp = NamedSharding(mesh, P("dp"))
-
-    def step_fn(ts: TrainState, batch: Dict):
-        B = batch["feats"].shape[0]
-        T = n_segs * seg_len
-        frame_idx = jnp.arange(T)
-        mask_full = (frame_idx[None, :] < batch["flens"][:, None]).astype(
-            batch["feats"].dtype)
-
-        def to_segs(x):
-            if x.ndim == 4:  # (n_cyc, B, T, D) per-cycle many-to-many arrays
-                xr = x[:, :, :T].reshape(x.shape[0], x.shape[1], n_segs,
-                                         seg_len, x.shape[3])
-                return jnp.moveaxis(xr, 2, 0)
-            x = x[:, :T]
-            return x.reshape(x.shape[0], n_segs, seg_len, *x.shape[2:]).swapaxes(0, 1)
-
-        segs = {
-            "feats": to_segs(batch["feats"]),
-            "src_code": to_segs(batch["src_code"]),
-            "trg_code": to_segs(batch["trg_code"]),
-            "cv_excit": to_segs(batch["cv_excit"]),
-            "mask": to_segs(mask_full),
-        }
-        state0 = init_cycle_state(cfg, ts.params, B)
-
-        def seg_step(carry, seg):
-            params, opt_state, cyc_state, rng = carry
-            rng, k_seg = jax.random.split(rng)
-            cyc_state = jax.tree_util.tree_map(jax.lax.stop_gradient, cyc_state)
-            (loss, (new_cyc_state, metrics)), grads = jax.value_and_grad(
-                segment_loss, has_aux=True)(params, cfg, k_seg, seg, cyc_state, True)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return (new_params, new_opt, new_cyc_state, rng), metrics
-
-        (params, opt_state, _, rng), metrics = jax.lax.scan(
-            seg_step, (ts.params, ts.opt_state, state0, ts.rng), segs)
-        return TrainState(params, opt_state, rng, ts.step + 1), metrics
-
-    # params/opt keep their (replicated) placement from `replicate`; the batch
-    # is constrained to the utterance-axis dp sharding
-    del repl
-    return jax.jit(
-        step_fn,
-        in_shardings=(None, {k: dp for k in
-                             ("feats", "src_code", "trg_code", "cv_excit", "flens")}),
-        donate_argnums=(0,),
-    )
+    # The step body is EXACTLY the single-device one (vi.train.build_step_fn);
+    # jit honors the committed input shardings produced by replicate() /
+    # shard_batch() (ndim-aware: 4-D many-to-many arrays shard axis 1), and the
+    # per-segment loss sums over utterances, so XLA inserts the cross-device
+    # psum automatically; every device applies identical Adam updates.
+    return jax.jit(build_step_fn(cfg, optimizer, seg_len, n_segs),
+                   donate_argnums=(0,))

@@ -180,11 +180,16 @@ def extract_features(wav_files: List[str], hdf5dir: str,
     if wavdir:
         os.makedirs(wavdir, exist_ok=True)
     file_lists = [fl.tolist() for fl in np.array_split(wav_files, n_jobs)]
-    arr = mp.Array("d", 2)
+    # spawn, not fork: the recipe driver imports JAX (multithreaded) before
+    # stage 1, and fork-from-a-threaded-process deadlocks nondeterministically
+    # (Python 3.12 DeprecationWarning; reference uses bare mp.Process because
+    # its binaries never hold threads — feature_extract_vc.py:410-425)
+    ctx = mp.get_context("spawn")
+    arr = ctx.Array("d", 2)
     procs = []
     for fl in file_lists:
-        p = mp.Process(target=_worker, args=(fl, hdf5dir, wavdir, cfg, minf0,
-                                             maxf0, pow_threshold, arr))
+        p = ctx.Process(target=_worker, args=(fl, hdf5dir, wavdir, cfg, minf0,
+                                              maxf0, pow_threshold, arr))
         p.start()
         procs.append(p)
     for p in procs:

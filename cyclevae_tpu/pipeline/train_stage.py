@@ -166,8 +166,13 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
             batch = _pad_batch_utts(batch, bsu)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             ts, metrics = get_step(meta["n_segs"])(ts, jb)
+            # average over VALID segments only — fully-padded trailing segments
+            # carry all-zero metrics that would dilute the epoch means
+            w = np.asarray(metrics.pop("seg_valid"))
+            nw = max(float(w.sum()), 1.0)
             ep_metrics.append(
-                {k: float(jnp.mean(v)) for k, v in metrics.items()})
+                {k: float(np.sum(np.asarray(v) * w) / nw)
+                 for k, v in metrics.items()})
         mean_train = {k: float(np.mean([m[k] for m in ep_metrics]))
                       for k in ep_metrics[0]}
         logging.info("epoch %d train: %s (%.1fs)", epoch + 1,
@@ -207,16 +212,28 @@ def run_train(exp: ExperimentConfig, feats_src: List[str],
                 def one(j_utt):
                     j, utt = j_utt
                     gv_t = gv_trg_mean if utt.is_src_speaker else gv_src_mean
-                    return _utt_eval_metrics(cfg, utt, outs, j, gv_t)
+                    m = _utt_eval_metrics(cfg, utt, outs, j, gv_t)
+                    m["is_src"] = float(utt.is_src_speaker)
+                    return m
                 with ThreadPoolExecutor(max_workers=8) as ex:
                     ev.extend(ex.map(one, list(enumerate(utts))))
         agg = {}
         for k in ev[0]:
+            if k == "is_src":
+                continue
             vals = np.array([m[k] for m in ev])
             agg[f"{k}_mean"] = float(vals.mean())
             agg[f"{k}_std"] = float(vals.std())
-        criterion = (agg["mcdpow_cv_mean"] + agg["mcdpow_cv_std"]
-                     + agg["mcd_cv_mean"] + agg["mcd_cv_std"])
+        # best-epoch criterion: the SRC→TRG direction only, as the reference
+        # (train…py:1153 uses eval_*_src_trg, never the trg→src direction);
+        # the pooled two-direction agg above is logged for observability
+        src_cv_pow = np.array([m["mcdpow_cv"] for m in ev if m["is_src"] > 0])
+        src_cv = np.array([m["mcd_cv"] for m in ev if m["is_src"] > 0])
+        if src_cv_pow.size == 0:    # no src-speaker eval utterances
+            src_cv_pow = np.array([m["mcdpow_cv"] for m in ev])
+            src_cv = np.array([m["mcd_cv"] for m in ev])
+        criterion = float(src_cv_pow.mean() + src_cv_pow.std()
+                          + src_cv.mean() + src_cv.std())
         agg["criterion"] = criterion
         logging.info("epoch %d eval: %s", epoch + 1,
                      {k: round(v, 3) for k, v in sorted(agg.items())})

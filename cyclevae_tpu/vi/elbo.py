@@ -46,19 +46,30 @@ def mcd_l2(x: jnp.ndarray, y: jnp.ndarray,
     return masked_mean(per_frame, mask), per_frame
 
 
-def masked_var(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Variance over the frame axis with masking; x: (..., T, D), mask (..., T)."""
+def masked_var(x: jnp.ndarray, mask: Optional[jnp.ndarray],
+               ddof: int = 0) -> jnp.ndarray:
+    """Variance over the frame axis with masking; x: (..., T, D), mask (..., T).
+
+    ddof=0 matches the reference eval epoch's np.var (train…py:722-727);
+    ddof=1 matches torch.var's unbiased estimator used by the TWFSEloss GV
+    mode (gru_vae.py:508)."""
     if mask is None:
-        return jnp.var(x, axis=-2)
+        n = x.shape[-2]
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        return jnp.sum((x - mean) ** 2, axis=-2) / max(n - ddof, 1)
     m = mask[..., None]
-    denom = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
-    mean = jnp.sum(x * m, axis=-2, keepdims=True) / denom[..., None, :]
-    return jnp.sum(((x - mean) ** 2) * m, axis=-2) / denom
+    n = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    mean = jnp.sum(x * m, axis=-2, keepdims=True) / n[..., None, :]
+    return jnp.sum(((x - mean) ** 2) * m, axis=-2) / jnp.maximum(n - ddof, 1.0)
 
 
 def gv_log_rmse(x: jnp.ndarray, gv_mean: jnp.ndarray,
-                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """RMSE of log per-utterance variance vs a data GV mean vector
-    (reference train…py:722-727 / gru_vae.py:508)."""
-    var_x = masked_var(x, mask)
+                mask: Optional[jnp.ndarray] = None,
+                ddof: int = 0) -> jnp.ndarray:
+    """RMSE of log per-utterance variance vs a data GV mean vector.
+
+    Default ddof=0 is the reference eval-epoch numpy form (train…py:722-727);
+    pass ddof=1 for the TWFSEloss GV mode's torch.var semantics
+    (gru_vae.py:508)."""
+    var_x = masked_var(x, mask, ddof=ddof)
     return jnp.mean(jnp.sqrt((jnp.log(var_x) - jnp.log(gv_mean)) ** 2), axis=-1)

@@ -301,13 +301,15 @@ def make_optimizer(cfg: CycleVAEConfig, lr: float = 1e-4,
         {"train": base, "freeze": optax.set_to_zero()}, label_fn)
 
 
-def make_train_step(cfg: CycleVAEConfig, optimizer: optax.GradientTransformation,
-                    seg_len: int, n_segs: int):
-    """Build a jitted step over one utterance batch.
+def build_step_fn(cfg: CycleVAEConfig, optimizer: optax.GradientTransformation,
+                  seg_len: int, n_segs: int):
+    """Unjitted train step over one utterance batch (shared by the single-
+    device and DP-sharded wrappers).
 
     batch: feats (B, n_segs*seg_len, in_dim), src_code, trg_code (B, ·, n_spk),
            cv_excit (B, ·, stdim), flens (B,) int32.
-    Returns (new_train_state, metrics dict of (n_segs, …) per-segment values).
+    Returns (new_train_state, metrics dict of (n_segs, …) per-segment values;
+    metrics["seg_valid"] flags segments with any real frame).
     """
 
     def step_fn(ts: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
@@ -342,11 +344,20 @@ def make_train_step(cfg: CycleVAEConfig, optimizer: optax.GradientTransformation
             cyc_state = jax.tree_util.tree_map(jax.lax.stop_gradient, cyc_state)
             (loss, (new_cyc_state, metrics)), grads = jax.value_and_grad(
                 segment_loss, has_aux=True)(params, cfg, k_seg, seg, cyc_state, True)
-            # segments with zero valid frames anywhere still update Adam moments
-            # exactly like the reference's per-segment step (it only skips when
-            # select_utt_idx is empty, which bucketing prevents — see pipeline)
+            # A segment past every utterance's true length (bucket_len rounds T
+            # up to n_segs*seg_len quanta) has an all-zero mask: its loss and
+            # grads are identically zero, but Adam's momentum-driven update
+            # m_hat/sqrt(v_hat) would still move params — a step the reference
+            # never takes (it only steps on selected utterances,
+            # train…py:1418-1420).  Gate params AND opt state on validity.
+            seg_valid = jnp.sum(seg["mask"]) > 0
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(seg_valid, a, b), new, old)
+            new_params = keep(new_params, params)
+            new_opt = keep(new_opt, opt_state)
+            metrics["seg_valid"] = seg_valid.astype(jnp.float32)
             return (new_params, new_opt, new_cyc_state, rng), metrics
 
         (params, opt_state, _, rng), metrics = jax.lax.scan(
@@ -355,7 +366,14 @@ def make_train_step(cfg: CycleVAEConfig, optimizer: optax.GradientTransformation
                             step=ts.step + 1)
         return new_ts, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def make_train_step(cfg: CycleVAEConfig, optimizer: optax.GradientTransformation,
+                    seg_len: int, n_segs: int):
+    """Jitted single-device train step (see build_step_fn)."""
+    return jax.jit(build_step_fn(cfg, optimizer, seg_len, n_segs),
+                   donate_argnums=(0,))
 
 
 def make_eval_forward(cfg: CycleVAEConfig):
