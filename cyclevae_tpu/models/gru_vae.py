@@ -116,8 +116,16 @@ def gru_rnn_apply(
     do: bool = False,
     clamp_vae: bool = False,
     clamp_vae_laplace: bool = False,
+    relu_vae: bool = False,
     lat_dim: int = 32,
     use_pallas: bool = False,
+    softmax: bool = False,
+    sigmoid: bool = False,
+    exp: bool = False,
+    res: bool = False,
+    res_stdim: int = 0,
+    res_endim: Optional[int] = None,
+    noise: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward over a (B, T, in_dim) segment.
 
@@ -125,11 +133,25 @@ def gru_rnn_apply(
     ``y_last`` is in the NORMALIZED domain (pre-scale_out) — it is the value to
     feed back as ``y_in`` for the next TBPTT segment, exactly the reference's
     carry contract (train…py:1298-1316).
+
+    Aux surface (reference gru_vae.py:359,373,445-450; used by the VQ /
+    classifier model variants, not the gauss pipeline):
+      * ``res``: residual AR mode — each frame's output (and its AR feedback)
+        is ``x_norm[t, res_stdim:res_endim] + out_1(gru_out)``;
+      * ``softmax`` / ``sigmoid`` / ``exp`` output heads applied to trj_out
+        (exp head: ``(exp(trj)-1)/10000``); the AR feedback stays pre-head;
+      * ``relu_vae``: variance-lane parameterization — relu'd variance lanes
+        clamped at 1e-6 instead of a log-variance clamp (gru_vae.py:412-435);
+      * ``noise``: additive N(0, noise²) on the normalized input (:348-350).
     """
     B, T, _ = x.shape
     if cfg.scale_in:
         s = params["scale_in"]
         x = (x - s["mean"]) / s["scale"]
+    if noise > 0.0:
+        assert rng is not None, "input noise requires an rng key"
+        rng, k_noise = jax.random.split(rng)
+        x = x + noise * jax.random.normal(k_noise, x.shape, dtype=x.dtype)
 
     # context embedding: one window matmul (see layers.dilconv_apply docstring)
     w_eff, b_eff = dilconv_effective(params["conv"], cfg.kernel_size)
@@ -149,7 +171,13 @@ def gru_rnn_apply(
     if h_in is None:
         h_in = init_hidden(cfg, B)
 
-    if use_pallas and cfg.hidden_layers == 1 and out_mask is None:
+    res_seq = None
+    if res:
+        end = cfg.out_dim + res_stdim if res_endim is None else res_endim
+        res_seq = x[..., res_stdim:end]
+
+    if use_pallas and cfg.hidden_layers == 1 and out_mask is None \
+            and res_seq is None:
         # fused Pallas scan with VMEM-resident weights: ~1.36x over the XLA
         # scan at batch >=128 (82% of the bf16 matmul roofline); forward-only
         from ..ops.gru_scan import precompute_input_gates
@@ -160,7 +188,8 @@ def gru_rnn_apply(
         h_last = h_last1[None]
     else:
         trj, y_last, h_last = gru_ar_scan(
-            params["gru"], params["out"], conv_seq, y_in, h_in, out_mask
+            params["gru"], params["out"], conv_seq, y_in, h_in, out_mask,
+            res_seq
         )
 
     if cfg.scale_out:
@@ -168,14 +197,25 @@ def gru_rnn_apply(
         trj_out = trj * s["scale"] + s["mean"]
     else:
         trj_out = trj
-        if clamp_vae:
+        if clamp_vae or clamp_vae_laplace:
+            if relu_vae:
+                aux = jnp.maximum(jax.nn.relu(trj_out[..., lat_dim:]), 1e-6)
+            else:
+                vmin = LOG_VAR_MIN if clamp_vae else LOG_SCALE_MIN
+                aux = jnp.maximum(trj_out[..., lat_dim:], vmin)
+            trj_out = jnp.concatenate([trj_out[..., :lat_dim], aux], axis=-1)
+        elif relu_vae:
             trj_out = jnp.concatenate(
                 [trj_out[..., :lat_dim],
-                 jnp.maximum(trj_out[..., lat_dim:], LOG_VAR_MIN)], axis=-1)
-        elif clamp_vae_laplace:
-            trj_out = jnp.concatenate(
-                [trj_out[..., :lat_dim],
-                 jnp.maximum(trj_out[..., lat_dim:], LOG_SCALE_MIN)], axis=-1)
+                 jax.nn.relu(trj_out[..., lat_dim:])], axis=-1)
+
+    # output heads (reference gru_vae.py:445-450); AR feedback stays pre-head
+    if exp:
+        trj_out = (jnp.exp(trj_out) - 1.0) / 10000.0
+    elif softmax:
+        trj_out = jax.nn.softmax(trj_out, axis=-1)
+    elif sigmoid:
+        trj_out = jax.nn.sigmoid(trj_out)
 
     return trj_out, y_last, h_last
 
@@ -206,18 +246,24 @@ def sampling_vae_laplace_batch(key, param: jnp.ndarray, lat_dim: Optional[int] =
 
 
 def loss_vae(param: jnp.ndarray, lat_dim: Optional[int] = None,
-             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             mask: Optional[jnp.ndarray] = None,
+             relu_vae: bool = False) -> jnp.ndarray:
     """KL(q(z|x) || N(0, I)) = mean_T 0.5 * sum_D (exp(lv) + mu^2 - lv - 1).
 
     param: (T, 2D) or (..., T, 2D); mean over the frame axis.  ``mask`` (same
     leading shape, (…, T)) selects valid frames for padded batches — the
     reference instead slices ``[:flen]`` dynamically (train…py:1370).
+    ``relu_vae``: the aux lanes hold the VARIANCE directly (reference
+    gru_vae.py:123-127), i.e. 0.5 * sum(v + mu^2 - log v - 1).
     """
     if lat_dim is None:
         lat_dim = param.shape[-1] // 2
     mu = param[..., :lat_dim]
     lv = param[..., lat_dim:]
-    per_frame = 0.5 * jnp.sum(jnp.exp(lv) + mu ** 2 - lv - 1.0, axis=-1)
+    if relu_vae:
+        per_frame = 0.5 * jnp.sum(lv + mu ** 2 - jnp.log(lv) - 1.0, axis=-1)
+    else:
+        per_frame = 0.5 * jnp.sum(jnp.exp(lv) + mu ** 2 - lv - 1.0, axis=-1)
     if mask is None:
         return jnp.mean(per_frame, axis=-1)
     denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
@@ -225,14 +271,19 @@ def loss_vae(param: jnp.ndarray, lat_dim: Optional[int] = None,
 
 
 def loss_vae_laplace(param: jnp.ndarray, lat_dim: Optional[int] = None,
-                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """KL(Laplace(mu, b) || Laplace(0, 1)) per reference gru_vae.py:130-144."""
+                     mask: Optional[jnp.ndarray] = None,
+                     relu_vae: bool = False) -> jnp.ndarray:
+    """KL(Laplace(mu, b) || Laplace(0, 1)) per reference gru_vae.py:130-144.
+    ``relu_vae``: aux lanes hold the scale b directly (:140-142)."""
     if lat_dim is None:
         lat_dim = param.shape[-1] // 2
     mu = param[..., :lat_dim]
-    log_b = param[..., lat_dim:]
+    aux = param[..., lat_dim:]
     mu_abs = jnp.abs(mu)
-    scale = jnp.exp(log_b)
+    if relu_vae:
+        scale, log_b = aux, jnp.log(aux)
+    else:
+        scale, log_b = jnp.exp(aux), aux
     per_frame = jnp.sum(-log_b + scale * jnp.exp(-mu_abs / scale) + mu_abs - 1.0, axis=-1)
     if mask is None:
         return jnp.mean(per_frame, axis=-1)

@@ -59,6 +59,7 @@ def gru_ar_scan(
     y0: jnp.ndarray,
     h0: jnp.ndarray,
     out_drop_mask: Optional[jnp.ndarray] = None,
+    res_seq: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the AR recurrence over a whole segment.
 
@@ -71,6 +72,10 @@ def gru_ar_scan(
       out_drop_mask: optional (B, T, H) inverted-dropout mask applied to the GRU
         output before the projection — note the reference drops the output
         BEFORE out_1 so the AR feedback itself is dropped (gru_vae.py:376-382).
+      res_seq: optional (B, T, out_dim) residual added to the projection output
+        INSIDE the recurrence, so the AR feedback carries the residual too —
+        the reference's ``res`` mode (gru_vae.py:373,388-399 adds
+        ``x_in[:, i, res_stdim:res_endim]`` to out_1's output per frame).
 
     Returns: (trj (B, T, out_dim) normalized-domain outputs, y_T, h_T).
     """
@@ -82,17 +87,16 @@ def gru_ar_scan(
     gates_x0 = precompute_input_gates(gru_layers[0], conv_seq)  # (B, T, 3H)
     # time-major for scan
     gates_x0_t = jnp.swapaxes(gates_x0, 0, 1)  # (T, B, 3H)
-    xs = (gates_x0_t,)
+    xs = {"gx": gates_x0_t}
     if out_drop_mask is not None:
-        xs = xs + (jnp.swapaxes(out_drop_mask, 0, 1),)
+        xs["mask"] = jnp.swapaxes(out_drop_mask, 0, 1)
+    if res_seq is not None:
+        xs["res"] = jnp.swapaxes(res_seq, 0, 1)
 
     def step(carry, x_t):
         h, y = carry
-        if out_drop_mask is not None:
-            gx0, mask_t = x_t
-        else:
-            (gx0,) = x_t
-            mask_t = None
+        gx0 = x_t["gx"]
+        mask_t = x_t.get("mask")
         gx = gx0 + y @ w_ih_y.T
         new_h = []
         inp_gates = gx
@@ -106,6 +110,8 @@ def gru_ar_scan(
         if mask_t is not None:
             out = out * mask_t
         y_new = out @ w_out.T + b_out
+        if "res" in x_t:
+            y_new = x_t["res"] + y_new
         return (jnp.stack(new_h), y_new), y_new
 
     (h_T, y_T), trj_t = jax.lax.scan(step, (h0, y0), xs)

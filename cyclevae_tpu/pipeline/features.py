@@ -55,6 +55,18 @@ def convert_f0(f0: np.ndarray, f0_mean_src: float, f0_std_src: float,
     return cvf0
 
 
+def convert_linf0(f0: np.ndarray, f0_mean_src: float, f0_std_src: float,
+                  f0_mean_trg: float, f0_std_trg: float) -> np.ndarray:
+    """Linear-domain F0 transform (reference feature_extract_vc.py:124-129;
+    unused by the shipped flow but part of the surface — the stats stage
+    records linear-domain F0 mean/std for it, calc_stats_vc.py:126-135)."""
+    nonzero = f0 > 0
+    cvf0 = np.zeros(len(f0))
+    cvf0[nonzero] = (f0_std_trg / f0_std_src) * (f0[nonzero] - f0_mean_src) \
+        + f0_mean_trg
+    return cvf0
+
+
 def mod_pow(cvmcep: np.ndarray, mcep: np.ndarray, alpha: float = 0.455,
             irlen: int = 1024) -> np.ndarray:
     """Power correction: move converted mcep c0 so frame energy matches the

@@ -63,6 +63,35 @@ def masked_var(x: jnp.ndarray, mask: Optional[jnp.ndarray],
     return jnp.sum(((x - mean) ** 2) * m, axis=-2) / jnp.maximum(n - ddof, 1.0)
 
 
+def rmse_corr(x: jnp.ndarray, y: jnp.ndarray,
+              mask: Optional[jnp.ndarray] = None,
+              l2: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TWFSEloss RMSE+corr mode (reference gru_vae.py:511-521).
+
+    Per-dimension RMSE over the frame axis (L2) or mean absolute error (L1),
+    plus the per-dimension Pearson correlation over frames; both are then
+    averaged over dimensions.  x, y: (..., T, D); mask (..., T).
+    Returns (mean_rmse, mean_corr) with the leading batch axes preserved.
+    """
+    m = None if mask is None else mask[..., None]
+    if l2:
+        per_dim = jnp.sqrt(masked_mean((x - y) ** 2, m, axis=-2))
+    else:
+        per_dim = masked_mean(jnp.abs(x - y), m, axis=-2)
+    if m is None:
+        x_mean = jnp.mean(x, axis=-2, keepdims=True)
+        y_mean = jnp.mean(y, axis=-2, keepdims=True)
+        xd, yd = x - x_mean, y - y_mean
+    else:
+        n = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+        xd = (x - jnp.sum(x * m, axis=-2, keepdims=True) / n) * m
+        yd = (y - jnp.sum(y * m, axis=-2, keepdims=True) / n) * m
+    num = jnp.sum(xd * yd, axis=-2)
+    den = jnp.sqrt(jnp.sum(xd ** 2, axis=-2)) * jnp.sqrt(jnp.sum(yd ** 2, axis=-2))
+    corr = num / jnp.maximum(den, 1e-12)
+    return jnp.mean(per_dim, axis=-1), jnp.mean(corr, axis=-1)
+
+
 def gv_log_rmse(x: jnp.ndarray, gv_mean: jnp.ndarray,
                 mask: Optional[jnp.ndarray] = None,
                 ddof: int = 0) -> jnp.ndarray:
