@@ -125,6 +125,128 @@ class MultSpkEvalDataset(MultSpkTrainDataset):
 
 
 # ---------------------------------------------------------------------------
+# classifier-code (Cls) variants (reference dataset.py:290-492)
+# ---------------------------------------------------------------------------
+
+def class_code(spk: str, spk_list: Sequence[str], T: int) -> np.ndarray:
+    """Per-frame integer speaker class (reference src_class_code etc.,
+    dataset.py:297,303: ``np.ones(T, int64) * class_idx``)."""
+    return np.full((T,), list(spk_list).index(spk), dtype=np.int64)
+
+
+def proc_multspk_data_random_cls(featfile: str, spk_src_list: Sequence[str],
+                                 spk_trg_list: Sequence[str], n_cyc: int,
+                                 rng: np.random.Generator):
+    """proc_multspk_data_random + per-frame class codes
+    (reference dataset.py:290-330).  Returns (cv_src_list, trg_code_list,
+    featfile_spk, featfile_src_trg, pair_spk_list, src_class_code,
+    trg_class_code_list)."""
+    all_spk = list(spk_src_list) + list(spk_trg_list)
+    cv_list, trg_codes, spk, featfile_pair, pair_spks = \
+        proc_multspk_data_random(featfile, spk_src_list, spk_trg_list, n_cyc,
+                                 rng)
+    T = trg_codes[0].shape[0]
+    src_cls = class_code(spk, all_spk, T)
+    trg_cls_list = [class_code(p, all_spk, T) for p in pair_spks]
+    return cv_list, trg_codes, spk, featfile_pair, pair_spks, src_cls, \
+        trg_cls_list
+
+
+@dataclass
+class MultClsUtterance(MultUtterance):
+    src_class_code: np.ndarray = None        # (T,) int64
+    trg_class_codes: List[np.ndarray] = None  # per cycle (T,) int64
+
+
+class MultSpkTrainClsDataset(MultSpkTrainDataset):
+    """Classifier-code training dataset (reference
+    FeatureDatasetMultTrainVAECls, dataset.py:332-385): the Train dataset plus
+    per-frame integer speaker classes for source and each per-cycle target."""
+
+    def __getitem__(self, idx: int) -> MultClsUtterance:
+        f = self.files[idx]
+        feats = read_hdf5(f, "/feat_org_lf0").astype(np.float32)
+        spcidx = np.asarray(read_hdf5(f, "/spcidx_range")[0], dtype=np.int64)
+        cv_list, trg_codes, spk, _, pair_spks, src_cls, trg_cls_list = \
+            proc_multspk_data_random_cls(f, self.spk_src_list,
+                                         self.spk_trg_list, self.n_cyc,
+                                         self.rng)
+        src_code = one_hot_code(spk, self.all_spk, feats.shape[0])
+        return MultClsUtterance(f, feats, src_code, trg_codes, cv_list,
+                                spcidx, pair_spks, src_cls, trg_cls_list)
+
+
+def eval_pair_schedule(n_spk_src: int, n_spk_trg: int) -> List[int]:
+    """Deterministic src-speaker -> trg-speaker-index assignment for eval
+    (reference dataset.py:407-429's even/odd interleave)."""
+    idx_even = 1 if n_spk_trg > 1 else 0
+    idx_odd = 0
+    out = []
+    for s in range(n_spk_src):
+        if s % 2 == 0:
+            if idx_even >= n_spk_trg:
+                idx_even = 1 if n_spk_trg > 1 else 0
+            out.append(idx_even)
+            idx_even += 2
+        else:
+            if idx_odd >= n_spk_trg:
+                idx_odd = 0
+            out.append(idx_odd)
+            idx_odd += 2
+    return out
+
+
+class MultSpkEvalClsDataset:
+    """Classifier-code eval dataset (reference FeatureDatasetMultEvalVAECls,
+    dataset.py:388-492): per-src-speaker file lists are paired with ONE
+    deterministically-scheduled target speaker's files; each item carries both
+    directions (src and trg records) with one-hot + class codes."""
+
+    def __init__(self, file_list_src_list: Sequence[Sequence[str]],
+                 file_list_trg_list: Sequence[Sequence[str]],
+                 spk_src_list: Sequence[str], spk_trg_list: Sequence[str]):
+        self.spk_src_list = list(spk_src_list)
+        self.spk_trg_list = list(spk_trg_list)
+        self.all_spk = self.spk_src_list + self.spk_trg_list
+        n_eval_utt = len(file_list_src_list[0])
+        sched = eval_pair_schedule(len(spk_src_list), len(spk_trg_list))
+        self.pairs: List[Tuple[str, str]] = []
+        self.count_spk_pair_cv = {
+            s: {t: 0 for t in self.spk_trg_list} for s in self.spk_src_list}
+        for s_idx, t_idx in enumerate(sched):
+            for i in range(n_eval_utt):
+                self.count_spk_pair_cv[self.spk_src_list[s_idx]][
+                    self.spk_trg_list[t_idx]] += 1
+                self.pairs.append((file_list_src_list[s_idx][i],
+                                   file_list_trg_list[t_idx][i]))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Dict:
+        f_src, f_trg = self.pairs[idx]
+        spk_src, spk_trg = speaker_of(f_src), speaker_of(f_trg)
+
+        def record(f, spk, other):
+            feats = read_hdf5(f, "/feat_org_lf0").astype(np.float32)
+            T = feats.shape[0]
+            return {
+                "feats": feats,
+                "spcidx": np.asarray(read_hdf5(f, "/spcidx_range")[0],
+                                     dtype=np.int64),
+                "code": one_hot_code(spk, self.all_spk, T),
+                "pair_code": one_hot_code(other, self.all_spk, T),
+                "cv_excit": read_hdf5(
+                    f, f"/cvuvlogf0fil_ap_{other}").astype(np.float32),
+                "class_code": class_code(spk, self.all_spk, T),
+                "pair_class_code": class_code(other, self.all_spk, T),
+                "featfile": f,
+            }
+        return {"src": record(f_src, spk_src, spk_trg),
+                "trg": record(f_trg, spk_trg, spk_src)}
+
+
+# ---------------------------------------------------------------------------
 # neural-vocoder surface (reference dataset.py:495-563)
 # ---------------------------------------------------------------------------
 
