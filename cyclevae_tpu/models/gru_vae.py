@@ -54,6 +54,10 @@ class GRURNNConfig:
     do_prob: float = 0.0
     scale_in: bool = True
     scale_out: bool = True
+    # "bfloat16" runs the conv/GRU/projection matmuls in bf16 (f32 master
+    # params, f32 normalization + clamps + losses) — the standard TPU mixed-
+    # precision split; f32 by default for reference-exact numerics
+    compute_dtype: str = "float32"
 
     @property
     def rec_field(self) -> int:
@@ -153,8 +157,14 @@ def gru_rnn_apply(
         rng, k_noise = jax.random.split(rng)
         x = x + noise * jax.random.normal(k_noise, x.shape, dtype=x.dtype)
 
+    cdt = jnp.dtype(cfg.compute_dtype)
+    cast = (lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, t)) \
+        if cdt != jnp.float32 else (lambda t: t)
+    x = cast(x)
+
     # context embedding: one window matmul (see layers.dilconv_apply docstring)
-    w_eff, b_eff = dilconv_effective(params["conv"], cfg.kernel_size)
+    w_eff, b_eff = dilconv_effective(cast(params["conv"]), cfg.kernel_size)
     conv_seq = window_gather(x, cfg.rec_field) @ w_eff + b_eff  # (B, T, conv_dim)
 
     out_mask = None
@@ -163,34 +173,52 @@ def gru_rnn_apply(
         k_conv, k_out = jax.random.split(rng)
         keep = 1.0 - cfg.do_prob
         conv_mask = jax.random.bernoulli(k_conv, keep, conv_seq.shape) / keep
-        conv_seq = conv_seq * conv_mask
+        conv_seq = conv_seq * conv_mask.astype(conv_seq.dtype)
         out_mask = (
             jax.random.bernoulli(k_out, keep, (B, T, cfg.hidden_units)) / keep
-        ).astype(x.dtype)
+        ).astype(conv_seq.dtype)
 
     if h_in is None:
         h_in = init_hidden(cfg, B)
+    y_in = y_in.astype(conv_seq.dtype)
+    h_in = h_in.astype(conv_seq.dtype)
 
     res_seq = None
     if res:
         end = cfg.out_dim + res_stdim if res_endim is None else res_endim
         res_seq = x[..., res_stdim:end]
 
-    if use_pallas and cfg.hidden_layers == 1 and out_mask is None \
-            and res_seq is None:
-        # fused Pallas scan with VMEM-resident weights: ~1.36x over the XLA
-        # scan at batch >=128 (82% of the bf16 matmul roofline); forward-only
+    gru_p = cast(params["gru"])
+    out_p = cast(params["out"])
+    if use_pallas and cfg.hidden_layers == 1 and res_seq is None:
+        # fused Pallas AR scan with VMEM-resident weights (~1.36x over the
+        # XLA scan at batch >=128, 82% of the bf16 matmul roofline)
         from ..ops.gru_scan import precompute_input_gates
-        from ..ops.pallas_gru import pallas_gru_ar
-        gx = precompute_input_gates(params["gru"][0], conv_seq)
-        trj, y_last, h_last1 = pallas_gru_ar(
-            params["gru"][0], params["out"], gx, y_in, h_in[0])
+        if out_mask is not None:
+            # training path: custom-VJP wrapper (Pallas fwd on TPU, bulk-
+            # recompute reverse-scan bwd — ops/gru_ar_vjp.py)
+            from ..ops.gru_ar_vjp import gru_ar_fused
+            g0 = gru_p[0]
+            conv_dim = conv_seq.shape[-1]
+            gx = precompute_input_gates(g0, conv_seq)
+            trj, y_last, h_last1 = gru_ar_fused(
+                g0["w_ih"][:, conv_dim:], g0["w_hh"], g0["b_hh"],
+                out_p["w"], out_p["b"], gx, y_in, h_in[0], out_mask, "auto")
+        else:
+            from ..ops.pallas_gru import pallas_gru_ar
+            gx = precompute_input_gates(gru_p[0], conv_seq)
+            trj, y_last, h_last1 = pallas_gru_ar(
+                gru_p[0], out_p, gx, y_in, h_in[0],
+                weight_dtype=cdt)
         h_last = h_last1[None]
     else:
         trj, y_last, h_last = gru_ar_scan(
-            params["gru"], params["out"], conv_seq, y_in, h_in, out_mask,
-            res_seq
+            gru_p, out_p, conv_seq, y_in, h_in, out_mask, res_seq
         )
+
+    trj = trj.astype(jnp.float32)
+    y_last = y_last.astype(jnp.float32)
+    h_last = h_last.astype(jnp.float32)
 
     if cfg.scale_out:
         s = params["scale_out"]

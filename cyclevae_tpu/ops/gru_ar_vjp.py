@@ -1,0 +1,168 @@
+"""Custom VJP for the fused autoregressive GRU — the training-path kernel.
+
+The reference's throughput limiter is the per-frame AR-GRU loop
+(src/nets/gru_vae.py:376-399).  Round 1 gave the forward a fused Pallas
+kernel (ops/pallas_gru.py) but training still ran the XLA scan because the
+kernel had no gradient.  This module closes that: ``gru_ar_fused`` is a
+``jax.custom_vjp`` whose
+
+  * forward runs the Pallas kernel (VMEM-resident weights, one grid step per
+    frame) and saves the hidden-state sequence ``h_seq`` as the residual;
+  * backward recomputes all gate activations IN BULK (the saved h/y sequences
+    make ``gx_t``/``gh_t`` data-parallel over time — two big MXU matmuls
+    instead of T small ones), then runs a reverse-time ``lax.scan`` carrying
+    only the inherently-sequential cotangents (dh through the recurrence, dy
+    through the AR feedback), and finally forms all weight gradients as bulk
+    matmuls over the emitted per-step gate cotangents.
+
+This is strictly better than autodiffing the XLA scan: autodiff keeps the
+(B,3H)x(3H,H) recompute matmuls inside the backward scan; here only the two
+unavoidable transposed-recurrence matmuls per step remain sequential.
+
+Gate math matches torch exactly (see ops/gru_scan.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _forward_scan(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask):
+    """XLA reference forward (also the CPU fallback): returns
+    (trj, y_T, h_T, h_seq)."""
+    hidden = w_hh.shape[1]
+
+    def step(carry, x_t):
+        h, y = carry
+        gx_t, mask_t = x_t
+        gx = gx_t + y @ w_ih_y.T
+        gh = h @ w_hh.T + b_hh
+        r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+        z = jax.nn.sigmoid(gx[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
+        n = jnp.tanh(gx[:, 2 * hidden:] + r * gh[:, 2 * hidden:])
+        h_new = (1.0 - z) * n + z * h
+        y_new = (h_new * mask_t) @ w_out.T + b_out
+        return (h_new, y_new), (y_new, h_new)
+
+    xs = (jnp.swapaxes(gates_x, 0, 1), jnp.swapaxes(out_mask, 0, 1))
+    (h_T, y_T), (trj_t, hseq_t) = jax.lax.scan(step, (h0, y0), xs)
+    return (jnp.swapaxes(trj_t, 0, 1), y_T, h_T, jnp.swapaxes(hseq_t, 0, 1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def gru_ar_fused(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask,
+                 impl: str = "auto"):
+    """Fused single-layer AR-GRU with a hand-derived VJP.
+
+    Args (torch weight layout, as stored in the params pytree):
+      w_ih_y (3H, out): AR-feedback columns of w_ih.
+      w_hh (3H, H), b_hh (3H,): hidden-side projection.
+      w_out (out, H), b_out (out,): output projection (reference out_1).
+      gates_x (B, T, 3H): hoisted conv-side input gates incl. b_ih.
+      y0 (B, out), h0 (B, H): carried AR/hidden state.
+      out_mask (B, T, H): inverted-dropout mask on the GRU output (ones = off).
+      impl: "pallas" | "xla" | "auto" (pallas on TPU).
+
+    Returns (trj (B, T, out), y_T, h_T).
+    """
+    trj, y_T, h_T, _ = _fwd_impl(w_ih_y, w_hh, b_hh, w_out, b_out,
+                                 gates_x, y0, h0, out_mask, impl)
+    return trj, y_T, h_T
+
+
+def _fwd_impl(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask,
+              impl):
+    use_pallas = impl == "pallas" or (impl == "auto"
+                                      and jax.default_backend() != "cpu")
+    if use_pallas:
+        from .pallas_gru import pallas_gru_ar_train
+        gru_layer = {
+            # pallas_gru_ar_train slices w_ih[:, conv_dim:]; hand it just the
+            # feedback columns (conv part is already inside gates_x) and a
+            # zero b_ih (also already inside gates_x)
+            "w_ih": w_ih_y, "w_hh": w_hh, "b_hh": b_hh,
+        }
+        out_proj = {"w": w_out, "b": b_out}
+        wdt = w_hh.dtype
+        return pallas_gru_ar_train(gru_layer, out_proj, gates_x, y0, h0,
+                                   out_mask, weight_dtype=wdt)
+    return _forward_scan(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0,
+                         out_mask)
+
+
+def _fwd(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask, impl):
+    trj, y_T, h_T, h_seq = _fwd_impl(w_ih_y, w_hh, b_hh, w_out, b_out,
+                                     gates_x, y0, h0, out_mask, impl)
+    res = (w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask,
+           trj, h_seq)
+    return (trj, y_T, h_T), res
+
+
+def _bwd(impl, res, cts):
+    (w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask,
+     trj, h_seq) = res
+    d_trj, d_yT, d_hT = cts
+    hidden = w_hh.shape[1]
+    f32 = jnp.float32
+    wy = w_ih_y.astype(f32)
+    whh = w_hh.astype(f32)
+    wout = w_out.astype(f32)
+
+    # ---- bulk recomputation of all gate activations (data-parallel in t) ----
+    y_prev = jnp.concatenate([y0[:, None], trj[:, :-1]], axis=1)   # (B,T,out)
+    h_prev = jnp.concatenate([h0[:, None], h_seq[:, :-1]], axis=1)  # (B,T,H)
+    gx = gates_x + y_prev @ wy.T                                    # (B,T,3H)
+    gh = h_prev @ whh.T + b_hh.astype(f32)
+    r = jax.nn.sigmoid(gx[..., :hidden] + gh[..., :hidden])
+    z = jax.nn.sigmoid(gx[..., hidden:2 * hidden]
+                       + gh[..., hidden:2 * hidden])
+    ghn = gh[..., 2 * hidden:]
+    n = jnp.tanh(gx[..., 2 * hidden:] + r * ghn)
+    o = h_seq * out_mask
+
+    # ---- reverse-time scan: only the sequential cotangent carries ----
+    def step(carry, x_t):
+        dh, dy = carry
+        d_trj_t, h_prev_t, n_t, z_t, r_t, ghn_t, mask_t = x_t
+        dy_tot = d_trj_t + dy
+        do = dy_tot @ wout                   # (B,out)@(out,H)
+        dh_tot = dh + do * mask_t
+        dz = dh_tot * (h_prev_t - n_t)
+        dn = dh_tot * (1.0 - z_t)
+        dgn = dn * (1.0 - n_t ** 2)
+        dr = dgn * ghn_t
+        dghn = dgn * r_t
+        dgr = dr * r_t * (1.0 - r_t)
+        dgz = dz * z_t * (1.0 - z_t)
+        dgx_t = jnp.concatenate([dgr, dgz, dgn], axis=-1)
+        dgh_t = jnp.concatenate([dgr, dgz, dghn], axis=-1)
+        dh_prev = dh_tot * z_t + dgh_t @ whh   # (B,3H)@(3H,H)
+        dy_prev = dgx_t @ wy                   # (B,3H)@(3H,out)
+        return (dh_prev, dy_prev), (dgx_t, dgh_t, dy_tot)
+
+    tm = lambda a: jnp.swapaxes(a, 0, 1)
+    xs = (tm(d_trj), tm(h_prev), tm(n), tm(z), tm(r), tm(ghn), tm(out_mask))
+    (dh0, dy0), (dgx_t_seq, dgh_t_seq, dy_seq_t) = jax.lax.scan(
+        step, (d_hT, d_yT), xs, reverse=True)
+    dgx = tm(dgx_t_seq)       # (B,T,3H)
+    dgh = tm(dgh_t_seq)
+    dy_seq = tm(dy_seq_t)     # (B,T,out)
+
+    # ---- weight gradients: bulk matmuls over (B*T) ----
+    d_w_ih_y = jnp.einsum("btg,bto->go", dgx, y_prev).astype(w_ih_y.dtype)
+    d_w_hh = jnp.einsum("btg,bth->gh", dgh, h_prev).astype(w_hh.dtype)
+    d_b_hh = jnp.sum(dgh, axis=(0, 1)).astype(b_hh.dtype)
+    d_w_out = jnp.einsum("bto,bth->oh", dy_seq, o).astype(w_out.dtype)
+    d_b_out = jnp.sum(dy_seq, axis=(0, 1)).astype(b_out.dtype)
+    d_gates_x = dgx.astype(gates_x.dtype)
+    d_mask = ((dy_seq @ wout) * h_seq).astype(out_mask.dtype)
+
+    return (d_w_ih_y, d_w_hh, d_b_hh, d_w_out, d_b_out, d_gates_x,
+            dy0.astype(y0.dtype), dh0.astype(h0.dtype), d_mask)
+
+
+gru_ar_fused.defvjp(_fwd, _bwd)

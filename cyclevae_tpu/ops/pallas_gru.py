@@ -64,6 +64,132 @@ def _kernel(gx_ref, wy_ref, whh_ref, bhh_ref, wout_ref, bout_ref,
         hlast_ref[:] = h_new
 
 
+def _kernel_train(gx_ref, wy_ref, whh_ref, bhh_ref, wout_ref, bout_ref,
+                  y0_ref, h0_ref, mask_ref,
+                  trj_ref, ylast_ref, hlast_ref, hseq_ref, h_s, y_s,
+                  *, hidden: int, T: int):
+    """Training-mode fused step: also streams out h_t (the VJP residual) and
+    applies the (inverted-)dropout mask on the GRU output before the
+    projection, as the reference does (gru_vae.py:376-382)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        y_s[:] = y0_ref[:]
+
+    h = h_s[:]
+    y = y_s[:]
+    wdt = whh_ref.dtype
+    gx = gx_ref[0] + jnp.dot(y.astype(wdt), wy_ref[:],
+                             preferred_element_type=jnp.float32)
+    gh = jnp.dot(h.astype(wdt), whh_ref[:],
+                 preferred_element_type=jnp.float32) + bhh_ref[:]
+    r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+    z = jax.nn.sigmoid(gx[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
+    n = jnp.tanh(gx[:, 2 * hidden:] + r * gh[:, 2 * hidden:])
+    h_new = (1.0 - z) * n + z * h
+    o = h_new * mask_ref[0]
+    y_new = jnp.dot(o.astype(wdt), wout_ref[:],
+                    preferred_element_type=jnp.float32) + bout_ref[:]
+
+    trj_ref[0] = y_new
+    hseq_ref[0] = h_new
+    h_s[:] = h_new
+    y_s[:] = y_new
+
+    @pl.when(t == T - 1)
+    def _():
+        ylast_ref[:] = y_new
+        hlast_ref[:] = h_new
+
+
+def pallas_gru_ar_train(
+    gru_layer: Dict,
+    out_proj: Dict,
+    gates_x: jnp.ndarray,   # (B, T, 3H) hoisted input-side gates (incl b_ih)
+    y0: jnp.ndarray,        # (B, out)
+    h0: jnp.ndarray,        # (B, H)
+    out_mask: jnp.ndarray,  # (B, T, H) inverted-dropout mask (ones if no do)
+    weight_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused AR-GRU forward for the TRAINING path: returns
+    (trj (B,T,out), y_T, h_T, h_seq (B,T,H)) — h_seq is the residual the
+    custom VJP needs to recompute gates in bulk (ops/gru_ar_vjp.py)."""
+    B, T, threeH = gates_x.shape
+    hidden = gru_layer["w_hh"].shape[1]
+    out_dim = out_proj["w"].shape[0]
+    conv_dim = gru_layer["w_ih"].shape[1] - out_dim
+
+    wy = gru_layer["w_ih"][:, conv_dim:].T.astype(weight_dtype)
+    whh = gru_layer["w_hh"].T.astype(weight_dtype)
+    bhh = gru_layer["b_hh"][None].astype(jnp.float32)
+    wout = out_proj["w"].T.astype(weight_dtype)
+    bout = out_proj["b"][None].astype(jnp.float32)
+
+    gates_x_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)
+    mask_t = jnp.swapaxes(out_mask, 0, 1).astype(jnp.float32)
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, threeH), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_dim, threeH), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, threeH), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, threeH), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, out_dim), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_dim), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, out_dim), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, hidden), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, hidden), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, out_dim), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, out_dim), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, hidden), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, hidden), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, hidden), jnp.float32),
+            pltpu.VMEM((B, out_dim), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel_train, hidden=hidden, T=T)
+    trj_t, y_T, h_T, hseq_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, out_dim), jnp.float32),
+            jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
+            jax.ShapeDtypeStruct((B, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, hidden), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * (hidden * 3 * hidden + out_dim * 3 * hidden
+                               + hidden * out_dim),
+            bytes_accessed=T * B * (threeH + out_dim + 2 * hidden) * 4
+            + (hidden + out_dim) * threeH * jnp.dtype(weight_dtype).itemsize,
+            transcendentals=3 * T * B * hidden,
+        ),
+    )(gates_x_t, wy, whh, bhh, wout, bout,
+      y0.astype(jnp.float32), h0.astype(jnp.float32), mask_t)
+    return (jnp.swapaxes(trj_t, 0, 1), y_T, h_T,
+            jnp.swapaxes(hseq_t, 0, 1))
+
+
 def pallas_gru_ar(
     gru_layer: Dict,
     out_proj: Dict,

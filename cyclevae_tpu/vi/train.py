@@ -66,6 +66,12 @@ class CycleVAEConfig:
     do_prob: float = 0.5
     stdim: int = 4
     posterior: str = "gauss"    # "gauss" | "laplace" (reference gru_vae.py:101-144)
+    # perf knobs (numerics-affecting — off by default for reference parity):
+    # use_pallas routes the AR recurrence through the fused Pallas kernel with
+    # its custom VJP (ops/gru_ar_vjp.py); compute_dtype="bfloat16" runs the
+    # matmuls in bf16 with f32 master weights and f32 loss/clamp algebra
+    use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @property
     def half_cyc(self) -> bool:
@@ -81,7 +87,8 @@ class CycleVAEConfig:
             in_dim=self.in_dim, out_dim=self.lat_dim * 2,
             hidden_units=self.hidden_units, hidden_layers=self.hidden_layers,
             kernel_size=self.kernel_size, dilation_size=self.dilation_size,
-            do_prob=self.do_prob, scale_in=True, scale_out=False)
+            do_prob=self.do_prob, scale_in=True, scale_out=False,
+            compute_dtype=self.compute_dtype)
 
     @property
     def dec_cfg(self) -> GRURNNConfig:
@@ -89,7 +96,8 @@ class CycleVAEConfig:
             in_dim=self.lat_dim + self.n_spk, out_dim=self.out_dim,
             hidden_units=self.hidden_units, hidden_layers=self.hidden_layers,
             kernel_size=self.kernel_size, dilation_size=self.dilation_size,
-            do_prob=self.do_prob, scale_in=False, scale_out=True)
+            do_prob=self.do_prob, scale_in=False, scale_out=True,
+            compute_dtype=self.compute_dtype)
 
 
 class CycleVAEParams(NamedTuple):
@@ -175,7 +183,8 @@ def cyclic_forward(
         lat, y, h = gru_rnn_apply(
             params.encoder, cfg.enc_cfg, enc_in,
             state["enc_y"][i], state["enc_h"][i],
-            rng=ks[0], do=do, lat_dim=lat_dim, **clamp_kw)
+            rng=ks[0], do=do, lat_dim=lat_dim, use_pallas=cfg.use_pallas,
+            **clamp_kw)
         new_state["enc_y"] = new_state["enc_y"].at[i].set(y)
         new_state["enc_h"] = new_state["enc_h"].at[i].set(h)
 
@@ -195,7 +204,7 @@ def cyclic_forward(
                                  state["dec_trg_h"][i]], axis=1)
         out2, y2, h2 = gru_rnn_apply(
             params.decoder, cfg.dec_cfg, dec_in, y_in2, h_in2,
-            rng=ks[2], do=do)
+            rng=ks[2], do=do, use_pallas=cfg.use_pallas)
         recon, conv = out2[:B], out2[B:]
         new_state["dec_src_y"] = new_state["dec_src_y"].at[i].set(y2[:B])
         new_state["dec_src_h"] = new_state["dec_src_h"].at[i].set(h2[:, :B])
@@ -206,7 +215,8 @@ def cyclic_forward(
             params.encoder, cfg.enc_cfg,
             jnp.concatenate([cv_excit_i, conv], axis=-1),
             state["enc_cv_y"][i], state["enc_cv_h"][i],
-            rng=ks[5], do=do, lat_dim=lat_dim, **clamp_kw)
+            rng=ks[5], do=do, lat_dim=lat_dim, use_pallas=cfg.use_pallas,
+            **clamp_kw)
         new_state["enc_cv_y"] = new_state["enc_cv_y"].at[i].set(y)
         new_state["enc_cv_h"] = new_state["enc_cv_h"].at[i].set(h)
 
@@ -214,7 +224,8 @@ def cyclic_forward(
         cyc_recon, y, h = gru_rnn_apply(
             params.decoder, cfg.dec_cfg,
             jnp.concatenate([src_code, z_cv], axis=-1),
-            state["dec_cyc_y"][i], state["dec_cyc_h"][i], rng=ks[7], do=do)
+            state["dec_cyc_y"][i], state["dec_cyc_h"][i], rng=ks[7], do=do,
+            use_pallas=cfg.use_pallas)
         new_state["dec_cyc_y"] = new_state["dec_cyc_y"].at[i].set(y)
         new_state["dec_cyc_h"] = new_state["dec_cyc_h"].at[i].set(h)
 
