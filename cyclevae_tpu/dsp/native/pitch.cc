@@ -143,18 +143,76 @@ std::vector<double> refine_f0(const double* x, int n, int fs,
   // magnitude-weighted mean of refined estimates.
   std::vector<double> out(f0.size(), 0.0);
   for (size_t t = 0; t < f0.size(); ++t) {
-    const double f = f0[t];
+    double f = f0[t];
     if (f <= 0) continue;
-    const int half = (int)(1.5 * fs / f);  // 3 periods window
     const int c = (int)std::llround(time_axis[t] * fs);
+
+    // Octave disambiguation: NCCF peaks equally at T0 and 2*T0, so the
+    // tracker can land an octave off. Two evidence tests over coherent DFT
+    // probes with an 8-period window (main-lobe half-width f/8, below the
+    // f/4 minimum probe-to-line separation):
+    //   double if odd multiples of f are empty vs even ones (f is a
+    //   subharmonic); halve if half-integer multiples are populated well
+    //   above the quarter-offset noise floor (f is an octave high).
+    // margin = 2.0 nats: on analytic harmonic+noise fixtures this never
+    // corrupts a correct track (fires only when the evidence is decisive);
+    // at band HNR ~0 dB it abstains rather than guess.
+    {
+      const int halfw = (int)(4.0 * fs / f);
+      const int wlo = c - halfw, whi = c + halfw;
+      std::vector<double> win(2 * halfw + 1);
+      double cg = 0.0;
+      for (int i = 0; i <= 2 * halfw; ++i) {
+        win[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (double)(2 * halfw));
+        cg += win[i];
+      }
+      auto probe = [&](double fg) {
+        double re = 0.0, im = 0.0;
+        const double w0 = 2.0 * M_PI * fg / fs;
+        for (int i = wlo; i <= whi; ++i) {
+          if (i < 0 || i >= n) continue;
+          const double wv = win[i - wlo];
+          re += x[i] * wv * std::cos(w0 * i);
+          im -= x[i] * wv * std::sin(w0 * i);
+        }
+        re /= cg;
+        im /= cg;
+        return 0.5 * std::log(re * re + im * im + 1e-300);
+      };
+      auto mean_at = [&](const double* ks, int nk, int* cnt) {
+        double s = 0.0;
+        *cnt = 0;
+        for (int j = 0; j < nk; ++j) {
+          const double fg = ks[j] * f;
+          if (fg > 0.45 * fs) break;
+          s += probe(fg);
+          ++*cnt;
+        }
+        return *cnt > 0 ? s / *cnt : 0.0;
+      };
+      const double margin = 2.0;
+      const double k_odd[4] = {1, 3, 5, 7}, k_even[4] = {2, 4, 6, 8};
+      const double k_half[4] = {0.5, 1.5, 2.5, 3.5};
+      const double k_q[8] = {0.25, 0.75, 1.25, 1.75, 2.25, 2.75, 3.25, 3.75};
+      int no_, ne, nh, nq;
+      const double eo = mean_at(k_odd, 4, &no_);
+      const double ee = mean_at(k_even, 4, &ne);
+      if (no_ >= 2 && ne >= 2 && eo < ee - margin) {
+        f *= 2.0;
+      } else if (0.5 * f >= 40.0) {
+        const double eh = mean_at(k_half, 4, &nh);
+        const double en = mean_at(k_q, 8, &nq);
+        if (nh >= 2 && eh > en + margin) f *= 0.5;
+      }
+    }
+
+    const int half = (int)(1.5 * fs / f);  // 3 periods window
     const int lo = c - half, hi = c + half;
     double refined_sum = 0.0, w_sum = 0.0;
     for (int k = 1; k <= 2; ++k) {
       const double fk = k * f;
       if (fk > 0.45 * fs) break;
-      double best_mag = -1.0, best_f = fk;
-      for (int g = -10; g <= 10; ++g) {
-        const double fg = fk * (1.0 + 0.006 * g);
+      auto probe = [&](double fg) {
         double re = 0.0, im = 0.0;
         const double w0 = 2.0 * M_PI * fg / fs;
         for (int i = lo; i <= hi; ++i) {
@@ -164,7 +222,22 @@ std::vector<double> refine_f0(const double* x, int n, int fs,
           re += x[i] * win * std::cos(w0 * i);
           im -= x[i] * win * std::sin(w0 * i);
         }
-        const double mag = re * re + im * im;
+        return re * re + im * im;
+      };
+      // two-stage grid: coarse +-6% (0.6% step), then +-0.6% around the
+      // coarse peak (0.06% step) — ~0.1 Hz resolution at speech f0, an
+      // order finer than the single coarse grid (noise-robustness fixture
+      // showed 2.5 Hz mean tracker error feeding the aperiodicity comb)
+      double best_mag = -1.0, best_f = fk;
+      for (int g = -10; g <= 10; ++g) {
+        const double fg = fk * (1.0 + 0.006 * g);
+        const double mag = probe(fg);
+        if (mag > best_mag) { best_mag = mag; best_f = fg; }
+      }
+      const double f_coarse = best_f;
+      for (int g = -10; g <= 10; ++g) {
+        const double fg = f_coarse * (1.0 + 0.0006 * g);
+        const double mag = probe(fg);
         if (mag > best_mag) { best_mag = mag; best_f = fg; }
       }
       const double w = std::sqrt(std::max(best_mag, 0.0));

@@ -57,20 +57,59 @@ std::vector<double> spectral_envelope(const double* x, int n, int fs,
 
   std::vector<double> logps(fftl), lifter(fftl);
   for (int t = 0; t < n_frames; ++t) {
-    double f = f0[t] > 0 ? f0[t] : default_f0;
+    const bool voiced = f0[t] > 0;
+    double f = voiced ? f0[t] : default_f0;
     f = std::max(f, f0_min);
     const int center = (int)std::llround(time_axis[t] * fs);
     const int win_half = (int)std::llround(1.5 * fs / f);
+    // Average the power spectrum over 3 windows offset by one period
+    // (voiced: harmonic phases repeat, so the periodic structure is
+    // unchanged while noise variance drops 3x) or half a window (unvoiced).
+    // The smoothed-periodogram variance is f0-independent (smoothing width x
+    // window length ~ 3 independent bins) and was the round-trip MCD floor:
+    // analysis self-repeatability on 2.5 ms-shifted speech was 3.1 dB.
+    const int off = voiced ? (int)std::llround((double)fs / f)
+                           : std::max(1, win_half / 2);
     auto ps = frame_power_spectrum(x, n, center, win_half, fftl);
+    {
+      const int n_side = voiced ? 1 : 2;  // 3 windows voiced, 5 unvoiced
+      for (int s = 1; s <= n_side; ++s) {
+        auto psl = frame_power_spectrum(x, n, center - s * off, win_half, fftl);
+        auto psr = frame_power_spectrum(x, n, center + s * off, win_half, fftl);
+        for (size_t i = 0; i < ps.size(); ++i) ps[i] += psl[i] + psr[i];
+      }
+      const double inv = 1.0 / (2 * n_side + 1);
+      for (auto& v : ps) v *= inv;
+    }
     const double floor_val = 1e-12;
     for (auto& v : ps) v = std::max(v, floor_val);
+
+    // DC correction (WORLD cheaptrick behavior): the DC-removed window loses
+    // the true spectrum below f0; add the spectrum mirrored around f0 there.
+    // Analytic-fixture tests show this is where nearly all envelope error
+    // lives (sub-f0 LSD ~12 dB without it; total 1.2-2.5 dB -> 0.3-0.6 dB).
+    {
+      const double bin_hz0 = (double)fs / fftl;
+      const int n_lo = std::min((int)std::ceil(f / bin_hz0), half);
+      std::vector<double> add(n_lo);
+      for (int i = 0; i < n_lo; ++i) {
+        const double mb = (2.0 * f - i * bin_hz0) / bin_hz0;  // mirror bin
+        const int m0 = std::clamp((int)mb, 0, half - 1);
+        const double w = mb - m0;
+        add[i] = ps[m0] * (1.0 - w) + ps[m0 + 1] * w;
+      }
+      for (int i = 0; i < n_lo; ++i) ps[i] += add[i];
+    }
 
     // rectangular smoothing of width (2/3) f0 in frequency, evaluated as a
     // CONTINUOUS integral over the linearly-interpolated spectrum (integer-bin
     // moving averages leave residual harmonic interference -> frame-to-frame
     // envelope variance)
     const double bin_hz = (double)fs / fftl;
-    const double ws = (2.0 / 3.0) * f;
+    // unvoiced frames have no harmonic structure to respect — smooth wider
+    // to cut periodogram variance further
+    const double ws = voiced ? (2.0 / 3.0) * f
+                             : std::max((2.0 / 3.0) * f, 300.0);
     const double wb = ws / bin_hz;  // smoothing width in (fractional) bins
     std::vector<double> smoothed(half + 1);
     // cumulative integral of the reflect-extended spectrum (trapezoid)
@@ -142,31 +181,106 @@ std::vector<double> aperiodicity(const double* x, int n, int fs,
       continue;
     }
     const int center = (int)std::llround(time_axis[t] * fs);
-    // 4-period window: frequency resolution ~ f0/4, harmonics resolvable
-    const int win_half = std::min((int)std::llround(2.0 * fs / f), fftl / 2 - 1);
-    auto ps = frame_power_spectrum(x, n, center, win_half, fftl);
+    // Long Blackman window (12 periods) on a fine FFT grid: the Blackman main
+    // lobe (full width 6/L = 0.5 f0) keeps harmonic energy out of the
+    // inter-harmonic sampling region and its -58 dB sidelobes set the
+    // estimator floor. 4-period Hann (the previous choice) leaks the entire
+    // main lobe into the "noise" bins — analytic HNR fixtures showed a=0.1
+    // read as 0.29-0.49; with this window + the power-integral ratio below
+    // the same fixtures track truth within ~10% (tests/test_dsp.py).
+    const int win_half = (int)std::llround(6.0 * fs / f);
+    const int L = 2 * win_half + 1;
+    const int fft_fine = (int)next_pow2((size_t)(2 * L));
+    std::vector<double> buf(fft_fine, 0.0), w(L);
+    double wxsum = 0.0, wsum = 0.0, w2sum = 0.0;
+    for (int i = 0; i < L; ++i) {
+      const double ph = 2.0 * M_PI * i / (L - 1);
+      w[i] = 0.42 - 0.5 * std::cos(ph) + 0.08 * std::cos(2.0 * ph);
+      const int idx = center - win_half + i;
+      const double xi = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+      wsum += w[i];
+      wxsum += w[i] * xi;
+      w2sum += w[i] * w[i];
+    }
+    const double dc = wsum > 0 ? wxsum / wsum : 0.0;
+    for (int i = 0; i < L; ++i) {
+      const int idx = center - win_half + i;
+      const double xi = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+      buf[i] = (xi - dc) * w[i];
+    }
+    auto spec = rfft(buf);
+    const int half_fine = fft_fine / 2;
+    const double bin_fine = (double)fs / fft_fine;
+    std::vector<double> ps(half_fine + 1);
+    const double norm = w2sum > 1e-12 ? 1.0 / w2sum : 0.0;
+    for (int i = 0; i <= half_fine; ++i) ps[i] = std::norm(spec[i]) * norm;
 
-    // per band: harmonic vs inter-harmonic power density ratio
+    // In-window f0 refinement: a 0.3 Hz tracker error is amplified by the
+    // harmonic number (k~40 at 6 kHz) to ~0.1 f0 — enough to push harmonic
+    // main lobes into the noise comb. LS-fit k*f0 to the measured harmonic
+    // peak positions (parabolic interpolation on log power) first.
+    // Staged fit: low harmonics tolerate tracker errors of several Hz (error
+    // amplified k-fold at harmonic k); each stage's fit recenters the next
+    // stage's peak search so high harmonics can be used safely.
+    double f_ref = f;
+    const int stage_kmax[3] = {4, 12, 40};
+    const double stage_r[3] = {0.3, 0.2, 0.15};
+    for (int s = 0; s < 3; ++s) {
+      double num = 0.0, den = 0.0;
+      const int k_lim = std::min(stage_kmax[s],
+                                 (int)((fs / 2.0 - bin_fine) / f_ref));
+      for (int k = 1; k <= k_lim; ++k) {
+        const int e = (int)std::llround(k * f_ref / bin_fine);
+        const int r = std::max(1, (int)(stage_r[s] * f_ref / bin_fine));
+        int best = -1;
+        double best_v = 0.0;
+        for (int i = std::max(1, e - r);
+             i <= std::min(half_fine - 1, e + r); ++i)
+          if (ps[i] > best_v) { best_v = ps[i]; best = i; }
+        if (best <= 0 || best_v <= 0) continue;
+        const double l0 = std::log(std::max(ps[best - 1], 1e-300));
+        const double l1 = std::log(std::max(ps[best], 1e-300));
+        const double l2 = std::log(std::max(ps[best + 1], 1e-300));
+        const double denom = l0 - 2.0 * l1 + l2;
+        const double off = std::abs(denom) > 1e-12
+                               ? std::clamp(0.5 * (l0 - l2) / denom, -0.5, 0.5)
+                               : 0.0;
+        const double fk = (best + off) * bin_fine;
+        num += k * fk;
+        den += (double)k * k;
+      }
+      if (den > 0) {
+        const double fit = num / den;
+        if (std::abs(fit - f_ref) < 0.12 * f_ref) f_ref = fit;
+        else break;
+      }
+    }
+
+    // per band: inter-harmonic noise density over total band density.
+    // noise_power/total_power = nd*W / (mean_density*W) — the density-ratio
+    // form (nd/hd) overestimates the harmonic density by the inverse of the
+    // harmonic-bin fill fraction and reads a/=2 too low.
     std::vector<double> band_ap(n_bands);
     for (int b = 0; b < n_bands; ++b) {
-      const double f_lo = b == 0 ? f * 1.5 : kBandHz * b + kBandHz / 2.0;
-      const double f_hi = std::min(kBandHz * (b + 1) + kBandHz / 2.0,
-                                   fs / 2.0 - bin_hz);
-      double harm = 0.0, noise = 0.0;
-      int nh = 0, nn = 0;
-      for (int i = (int)(f_lo / bin_hz); i <= (int)(f_hi / bin_hz) && i <= half; ++i) {
-        const double freq = i * bin_hz;
-        const double frac = freq / f - std::floor(freq / f);
-        const double d = std::min(frac, 1.0 - frac);  // distance to harmonic (cycles)
-        if (d < 0.2) { harm += ps[i]; ++nh; }
-        else if (d > 0.35) { noise += ps[i]; ++nn; }
+      const double fc = kBandHz * (b + 1);
+      const double f_lo = std::max(fc - kBandHz / 2.0, f * 1.5);
+      const double f_hi = std::min(fc + kBandHz / 2.0, fs / 2.0 - bin_fine);
+      double noise = 0.0, total = 0.0;
+      int nn = 0, nt = 0;
+      for (int i = (int)(f_lo / bin_fine);
+           i <= (int)(f_hi / bin_fine) && i <= half_fine; ++i) {
+        const double freq = i * bin_fine;
+        const double frac = freq / f_ref - std::floor(freq / f_ref);
+        const double d = std::min(frac, 1.0 - frac);  // cycles to harmonic
+        total += ps[i];
+        ++nt;
+        if (d > 0.35 && d < 0.65) { noise += ps[i]; ++nn; }
       }
       double ap2;
-      if (nh == 0 || nn == 0) ap2 = kApCeil * kApCeil;
+      if (nn == 0 || nt == 0) ap2 = kApCeil * kApCeil;
       else {
-        const double hd = harm / nh, nd = noise / nn;
-        // noise floor occupies the whole band; harmonic peaks only near k*f0.
-        ap2 = nd / std::max(hd, nd + 1e-300);
+        const double nd = noise / nn, td = total / nt;
+        ap2 = nd / std::max(td, 1e-300);
       }
       band_ap[b] = std::sqrt(std::clamp(ap2, kApFloor * kApFloor, kApCeil * kApCeil));
     }
@@ -311,27 +425,39 @@ std::vector<double> synthesize(const std::vector<double>& f0,
     t_s += period / fs;
   }
 
-  // ---- aperiodic part: per-frame filtered white noise, OLA ----
+  // ---- aperiodic part: exact-magnitude random-phase noise, sqrt-Hann OLA ----
+  // White-noise excitation through a filter realizes the target PSD only in
+  // expectation, with chi^2_2 (100%) per-bin periodogram variance — that
+  // variance came straight back out of the re-analysis as ~4 dB unvoiced
+  // round-trip MCD. Synthesizing each frame in the frequency domain with the
+  // exact target magnitude and random phase removes the magnitude variance;
+  // 50%-overlap sqrt-Hann OLA preserves power (sum of squared windows = 1).
   std::mt19937_64 gen(seed);
-  std::normal_distribution<double> nd(0.0, 1.0);
+  std::uniform_real_distribution<double> ud(0.0, 2.0 * M_PI);
   const int hop = (int)std::llround(hop_s * fs);
-  std::vector<double> noise_ps(half + 1);
+  const int wlen = 2 * hop;
+  std::vector<double> w2(wlen);
+  for (int i = 0; i < wlen; ++i) {
+    const double hann = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / wlen);
+    w2[i] = std::sqrt(hann);
+  }
+  std::vector<cplx> X(half + 1);
   for (int t = 0; t < n_frames; ++t) {
     const double* sp_row = &sp[(size_t)t * (half + 1)];
     const double* ap_row = &ap[(size_t)t * (half + 1)];
     for (int i = 0; i <= half; ++i) {
       const double a = ap_row[i];
-      noise_ps[i] = sp_row[i] * a * a;
+      const double mag = std::sqrt(std::max(sp_row[i] * a * a, 0.0) * fftl);
+      const double th = ud(gen);
+      X[i] = (i == 0 || i == half) ? cplx(mag, 0.0)
+                                   : cplx(mag * std::cos(th), mag * std::sin(th));
     }
-    auto ir = min_phase_ir(noise_ps.data(), fftl);
-    const int start = (int)std::llround(t * hop_s * fs);
-    // convolve hop-length unit-variance noise with the IR (truncate IR tail)
-    const int ir_len = std::min(fftl, 512);
-    for (int k = 0; k < hop; ++k) {
-      const double e = nd(gen);
-      const int base = start + k;
-      for (int i = 0; i < ir_len && base + i < n_out; ++i)
-        y[base + i] += e * ir[i];
+    auto seg = irfft(X, fftl);
+    const int start = (int)std::llround(t * hop_s * fs) - hop;
+    for (int i = 0; i < wlen; ++i) {
+      const int p = start + i;
+      if (p < 0 || p >= n_out) continue;
+      y[p] += w2[i] * seg[i % fftl];
     }
   }
   y.resize((size_t)std::max(0, (int)std::llround((n_frames - 1) * hop_s * fs)) + hop);
