@@ -18,7 +18,7 @@ same engine runs the decoder SSM and test targets (linear-Gaussian vs Kalman).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,12 +47,18 @@ def smc_filter(
     propagate: Callable[[jax.Array, any, int], any],
     log_weight: Callable[[any, int], jnp.ndarray],
     cfg: SMCConfig = SMCConfig(),
+    store: Optional[Callable[[any], any]] = None,
 ) -> Tuple[any, dict]:
     """Bootstrap particle filter.
 
     init(key) -> particle state pytree (single particle)
     propagate(key, state, t) -> new state (single particle, one step)
     log_weight(state, t) -> incremental log-likelihood of observation t
+    store(state) -> per-step value to record for SMOOTHING (e.g. the latent
+    z_t); when given, info carries the genealogy: ``stored`` (T, n, ...)
+    pre-resample values and ``ancestors`` (T, n) resampling indices, which
+    ``trace_ancestry``/``smc_smoothed_trajectories`` turn into full-trajectory
+    posterior draws aligned with the final weights.
 
     Returns (final particle states (vmapped pytree), info with
     log_marginal (SMC estimate of log p(x_{1:T})), ess trajectory,
@@ -69,6 +75,7 @@ def smc_filter(
             jax.random.split(k_prop, n), states)
         log_inc = jax.vmap(lambda s: log_weight(s, t))(states)
         log_w = log_w + log_inc
+        stored = jax.vmap(store)(states) if store is not None else None
 
         # marginal-likelihood increment + ESS
         log_sum = jax.nn.logsumexp(log_w)
@@ -81,24 +88,63 @@ def smc_filter(
             states_r = jax.tree_util.tree_map(lambda x: x[idx], states)
             # after resampling: uniform weights carrying the average weight
             log_w_r = jnp.full((n,), log_sum - jnp.log(n))
-            return states_r, log_w_r, jnp.asarray(True)
+            return states_r, log_w_r, jnp.asarray(True), idx
 
         def no_resample(args):
             _, states, log_w = args
-            return states, log_w, jnp.asarray(False)
+            return states, log_w, jnp.asarray(False), jnp.arange(n)
 
-        states, log_w, resampled = jax.lax.cond(
+        states, log_w, resampled, anc = jax.lax.cond(
             ess < cfg.ess_threshold * n, do_resample, no_resample,
             (k_res, states, log_w))
-        return (key, states, log_w, log_Z), (ess, resampled)
+        out = (ess, resampled) if store is None else (ess, resampled,
+                                                      stored, anc)
+        return (key, states, log_w, log_Z), out
 
     log_w0 = jnp.full((n,), -jnp.log(n))
-    (key, states, log_w, _), (ess_traj, resampled) = jax.lax.scan(
+    (key, states, log_w, _), outs = jax.lax.scan(
         step, (key, states, log_w0, 0.0), jnp.arange(T))
     log_marginal = jax.nn.logsumexp(log_w)
-    info = {"log_marginal": log_marginal, "ess": ess_traj,
-            "resampled": resampled}
+    info = {"log_marginal": log_marginal, "ess": outs[0],
+            "resampled": outs[1], "log_w": log_w}
+    if store is not None:
+        info["stored"], info["ancestors"] = outs[2], outs[3]
     return states, info
+
+
+def trace_ancestry(stored, ancestors: jnp.ndarray):
+    """Turn filter genealogy into full-trajectory draws (ancestor tracing).
+
+    ``stored``: pytree with leading (T, n, ...) — the PRE-resample per-step
+    values; ``ancestors``: (T, n) where ancestors[t][j] is the pre-resample
+    index at time t of post-resample particle j (identity when step t did not
+    resample).  Returns a pytree (T, n, ...) where lane j is the complete
+    time trajectory of FINAL particle j — weight it with softmax(final log_w).
+
+    This is the O(T·n) genealogy smoother: exact draws from the SMC
+    approximation of p(z_{1:T} | x_{1:T}) (degeneracy caveat: deep ancestry
+    collapses onto few lineages for T >> resampling interval; raise
+    n_particles or use the guided proposal to push resampling times out).
+    """
+    T, n = ancestors.shape
+
+    def back(idx, t):
+        pre = ancestors[t][idx]
+        vals = jax.tree_util.tree_map(lambda x: x[t][pre], stored)
+        return pre, vals
+
+    _, traj_rev = jax.lax.scan(back, jnp.arange(n),
+                               jnp.arange(T - 1, -1, -1))
+    return jax.tree_util.tree_map(lambda x: jnp.flip(x, axis=0), traj_rev)
+
+
+def smc_smoothed_trajectories(info: dict):
+    """(trajectories (T, n, ...), normalized final weights (n,)) from a
+    ``store=``-enabled smc_filter/smc_filter_sharded info dict.  The smoothed
+    posterior mean at t is ``einsum('nj,tn...->t...', w, traj)``."""
+    traj = trace_ancestry(info["stored"], info["ancestors"])
+    w = jax.nn.softmax(info["log_w"])
+    return traj, w
 
 
 # ---------------------------------------------------------------------------
@@ -201,10 +247,15 @@ def make_decoder_ssm(params, cfg, feats, spk_code, obs_scale: float = 1.0,
 
 
 def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
-                       cfg: SMCConfig = SMCConfig()):
+                       cfg: SMCConfig = SMCConfig(), store=None):
     """Particles sharded on the dp axis via shard_map.  Weight normalization
     and ESS are psum'd; systematic resampling all-gathers the (small) weight
-    vector to index into the all-gathered particle states."""
+    vector to index into the all-gathered particle states.
+
+    ``store``: as in smc_filter — records pre-resample per-step values and
+    GLOBAL ancestor indices; info["stored"] comes back (T, n, ...) with the
+    particle axis dp-sharded and info["ancestors"]/"log_w" replicated, so
+    ``trace_ancestry``/``smc_smoothed_trajectories`` apply unchanged."""
     from jax.sharding import PartitionSpec as P
 
     n = cfg.n_particles
@@ -229,6 +280,9 @@ def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
                 jax.random.split(k_prop, n_local), states)
             log_inc = jax.vmap(lambda s: log_weight(s, t))(states)
             log_w = log_w + log_inc
+            stored = jax.vmap(store)(states) if store is not None else None
+            dev = jax.lax.axis_index("dp")
+            ident = dev * n_local + jnp.arange(n_local)  # global self-indices
 
             # global normalization via collectives
             local_max = jnp.max(log_w)
@@ -247,7 +301,6 @@ def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
                     lambda x: jax.lax.all_gather(x, "dp").reshape(
                         (-1,) + x.shape[1:]), states)
                 idx_all = systematic_resample_indices(k_res, all_w)
-                dev = jax.lax.axis_index("dp")
                 idx_local = jax.lax.dynamic_slice_in_dim(
                     idx_all, dev * n_local, n_local)
                 states_r = jax.tree_util.tree_map(lambda x: x[idx_local],
@@ -256,29 +309,43 @@ def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
                 # but the carry slot is a per-device array)
                 log_w_r = jax.lax.pvary(
                     jnp.full((n_local,), log_sum - jnp.log(n)), "dp")
-                return states_r, log_w_r, jnp.asarray(True)
+                return states_r, log_w_r, jnp.asarray(True), idx_local
 
             def no_resample(args):
                 _, states, log_w = args
-                return states, log_w, jnp.asarray(False)
+                return states, log_w, jnp.asarray(False), ident
 
-            states, log_w, resampled = jax.lax.cond(
+            states, log_w, resampled, anc_local = jax.lax.cond(
                 ess < cfg.ess_threshold * n, do_resample, no_resample,
                 (k_res, states, log_w))
-            return (key, states, log_w, log_sum), (ess, resampled)
+            out = (ess, resampled)
+            if store is not None:
+                out = out + (stored, anc_local)
+            return (key, states, log_w, log_sum), out
 
         log_w0 = jax.lax.pvary(jnp.full((n_local,), -jnp.log(n)), "dp")
         states = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, "dp"),
                                         states)
-        (key, states, log_w, _), (ess_traj, resampled) = jax.lax.scan(
+        (key, states, log_w, _), outs = jax.lax.scan(
             step, (key, states, log_w0, 0.0), jnp.arange(T))
         lmax = jax.lax.pmax(jnp.max(log_w), "dp")
         log_marginal = lmax + jnp.log(
             jax.lax.psum(jnp.sum(jnp.exp(log_w - lmax)), "dp"))
-        return states, {"log_marginal": log_marginal, "ess": ess_traj,
-                        "resampled": resampled}
+        info = {"log_marginal": log_marginal, "ess": outs[0],
+                "resampled": outs[1]}
+        if store is not None:
+            info["stored"], info["anc_local"] = outs[2], outs[3]
+        return states, info, log_w
 
     keys = jax.random.split(key, n_dev)
+    out_specs = ({"log_marginal": P(), "ess": P(), "resampled": P()}
+                 if store is None else
+                 {"log_marginal": P(), "ess": P(), "resampled": P(),
+                  "stored": P(None, "dp"), "anc_local": P(None, "dp")})
     fn = jax.shard_map(local, mesh=mesh, in_specs=(P("dp"), P()),
-                       out_specs=(P("dp"), P()))
-    return fn(keys, shared_key)
+                       out_specs=(P("dp"), out_specs, P("dp")))
+    states, info, log_w = fn(keys, shared_key)
+    if store is not None:
+        info["ancestors"] = info.pop("anc_local")  # already global indices
+        info["log_w"] = log_w
+    return states, info
