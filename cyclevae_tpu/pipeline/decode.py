@@ -90,9 +90,30 @@ class Codec:
                                       y0)
             return out[0]
 
+        def encode_mean_b(params, key, feats):
+            # fused batched encode + posterior-mean draw: feats (B, Tp, in)
+            lat, _, _ = gru_rnn_apply(
+                params.encoder, cfg.enc_cfg, feats,
+                jnp.zeros((feats.shape[0], cfg.lat_dim * 2)),
+                clamp_vae=True, lat_dim=cfg.lat_dim)
+            draws = sampling_vae_batch(
+                key, jnp.broadcast_to(lat, (n_smpl_dec,) + lat.shape),
+                cfg.lat_dim)
+            return lat, jnp.mean(draws, axis=0)
+
+        def decode_b(params, code_z):
+            # batched decode: code_z (B, Tp, n_spk + lat)
+            s = params.decoder["scale_out"]
+            y0 = jnp.broadcast_to((0.0 - s["mean"]) / s["scale"],
+                                  (code_z.shape[0], cfg.out_dim))
+            out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0)
+            return out
+
         self._encode = jax.jit(encode)
         self._latent_mean = jax.jit(latent_mean)
         self._decode = jax.jit(decode)
+        self._encode_mean_b = jax.jit(encode_mean_b)
+        self._decode_b = jax.jit(decode_b)
 
     def _pad(self, x: np.ndarray) -> Tuple[np.ndarray, int]:
         T = x.shape[0]
@@ -115,6 +136,41 @@ class Codec:
                                          dtype=np.float32))
         return np.asarray(self._decode(self.params, jnp.asarray(cz)),
                           dtype=np.float64)[:T]
+
+    def _pad_stack(self, mats: List[np.ndarray]) -> Tuple[np.ndarray, List[int]]:
+        """Zero-pad a list of (T_i, D) to one common bucketed length and
+        stack: the pad-to-common-length trick that lets K utterances of
+        different lengths ride ONE batched AR scan (same as the training
+        side's 2-in-1 fusion, vi/train.py)."""
+        lens = [m.shape[0] for m in mats]
+        Tp = ((max(lens) + self.bucket - 1) // self.bucket) * self.bucket
+        out = np.zeros((len(mats), Tp, mats[0].shape[1]), np.float32)
+        for i, m in enumerate(mats):
+            out[i, :len(m)] = m
+        return out, lens
+
+    def encode_mean(self, key, feats: List[np.ndarray]
+                    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Fused batched encode + n_smpl_dec posterior-mean draw for K
+        utterances in ONE device call.  Returns ([lat_i], [z_i]) trimmed."""
+        stack, lens = self._pad_stack([np.asarray(f, np.float32)
+                                       for f in feats])
+        lat, z = self._encode_mean_b(self.params, key, jnp.asarray(stack))
+        lat, z = np.asarray(lat), np.asarray(z)
+        return ([lat[i, :n] for i, n in enumerate(lens)],
+                [z[i, :n] for i, n in enumerate(lens)])
+
+    def decode_batch(self, pairs: List[Tuple[np.ndarray, np.ndarray]]
+                     ) -> List[np.ndarray]:
+        """Batched decode of K (code, z) pairs in ONE device call (the
+        3-direction stage-6 fan-out and the 2-direction stage-5 fan-out
+        each become a single batched AR scan filling the MXU tile)."""
+        stack, lens = self._pad_stack(
+            [np.concatenate([c, z], axis=-1, dtype=np.float32)
+             for c, z in pairs])
+        out = np.asarray(self._decode_b(self.params, jnp.asarray(stack)),
+                         dtype=np.float64)
+        return [out[i, :n] for i, n in enumerate(lens)]
 
 
 def _speaker_codes(T: int, n_spk: int, idx: int) -> np.ndarray:
@@ -168,36 +224,62 @@ def latent_dtw_metrics(lat_src: np.ndarray, lat_trg: np.ndarray,
     return {"lat_rmse": rmse, "lat_cos": cos}
 
 
+def analyze_pair(exp: ExperimentConfig, wav_file: str, wav_trg_file: str,
+                 minf0: float, maxf0: float, minf0_trg: float,
+                 maxf0_trg: float, pow_src: float, pow_trg: float):
+    """Host-DSP analysis phase of one decode pair (WORLD/SPTK, no device).
+    Split out so the recipe can PREFETCH analyses on a producer thread while
+    the device decodes the previous pair (decode…py:254-299)."""
+    fcfg = exp.feature
+    fs, x = read_wav(wav_file, cutoff=int(fcfg.highpass_cutoff))
+    src = _feat_from_wav(x, fs, minf0, maxf0, pow_src, fcfg)
+    _, x_trg = read_wav(wav_trg_file, cutoff=int(fcfg.highpass_cutoff))
+    trg = _feat_from_wav(x_trg, fs, minf0_trg, maxf0_trg, pow_trg, fcfg)
+    return {"fs": fs, "x": x, "src": src, "trg": trg}
+
+
+def device_decode_pair(codec: Codec, key, src_feat: np.ndarray,
+                       trg_feat: np.ndarray):
+    """Device phase: ONE fused batched encode+posterior-mean call for both
+    utterances and ONE fused 3-direction batched decode (pad-to-common-length
+    — vs the reference's 3 separate forwards, decode…py:309-323)."""
+    cfg = codec.cfg
+    key = jax.random.PRNGKey(0) if key is None else key
+    key, k1 = jax.random.split(key)
+    (lat_src, lat_trg), (z_src, z_trg) = codec.encode_mean(
+        k1, [src_feat, trg_feat])
+    T, Tt = len(z_src), len(z_trg)
+    cvmcep, cvmcep_src, cvmcep_trg = codec.decode_batch([
+        (_speaker_codes(T, cfg.n_spk, 1), z_src),
+        (_speaker_codes(T, cfg.n_spk, 0), z_src),
+        (_speaker_codes(Tt, cfg.n_spk, 1), z_trg),
+    ])
+    return lat_src, lat_trg, cvmcep, cvmcep_src, cvmcep_trg
+
+
 def decode_pair(codec: Codec, exp: ExperimentConfig, key,
                 wav_file: str, wav_trg_file: str, outdir: str,
                 f0stats: Dict[str, float], gv: Dict[str, np.ndarray],
                 minf0: float, maxf0: float, minf0_trg: float, maxf0_trg: float,
                 pow_src: float, pow_trg: float,
-                out_name: Optional[str] = None) -> Dict[str, float]:
+                out_name: Optional[str] = None,
+                analysis: Optional[dict] = None) -> Dict[str, float]:
     """Full decode of one (source wav, target wav) pair; writes 8 wavs.
-    Returns the metric dict for corpus aggregation (decode…py:604-644)."""
+    Returns the metric dict for corpus aggregation (decode…py:604-644).
+    ``analysis``: pre-computed analyze_pair output (prefetch path)."""
     fcfg = exp.feature
     cfg = codec.cfg
-    fs, x = read_wav(wav_file, cutoff=int(fcfg.highpass_cutoff))
-    src = _feat_from_wav(x, fs, minf0, maxf0, pow_src, fcfg)
-    _, x_trg = read_wav(wav_trg_file, cutoff=int(fcfg.highpass_cutoff))
-    trg = _feat_from_wav(x_trg, fs, minf0_trg, maxf0_trg, pow_trg, fcfg)
+    if analysis is None:
+        analysis = analyze_pair(exp, wav_file, wav_trg_file, minf0, maxf0,
+                                minf0_trg, maxf0_trg, pow_src, pow_trg)
+    fs, x = analysis["fs"], analysis["x"]
+    src, trg = analysis["src"], analysis["trg"]
 
     base = out_name or os.path.splitext(os.path.basename(wav_file))[0]
     os.makedirs(outdir, exist_ok=True)
 
-    # --- encode + posterior-mean latents ---
-    key, k1, k2 = jax.random.split(jax.random.PRNGKey(0) if key is None else key, 3)
-    lat_src = codec.encode(src["feat"])
-    lat_trg = codec.encode(trg["feat"])
-    z_src = codec.latent_mean(k1, lat_src)
-    z_trg = codec.latent_mean(k2, lat_trg)
-
-    # --- decode 3 directions (decode…py:309-323) ---
-    T, Tt = len(z_src), len(z_trg)
-    cvmcep = codec.decode(_speaker_codes(T, cfg.n_spk, 1), z_src)
-    cvmcep_src = codec.decode(_speaker_codes(T, cfg.n_spk, 0), z_src)
-    cvmcep_trg = codec.decode(_speaker_codes(Tt, cfg.n_spk, 1), z_trg)
+    lat_src, lat_trg, cvmcep, cvmcep_src, cvmcep_trg = device_decode_pair(
+        codec, key, src["feat"], trg["feat"])
 
     metrics: Dict[str, float] = {}
     metrics.update(latent_dtw_metrics(lat_src, lat_trg, src["spcidx"],
@@ -294,13 +376,14 @@ def calc_cvgv(codec: Codec, exp: ExperimentConfig, key,
         for f in files:
             feat = read_hdf5(f, "/feat_org_lf0").astype(np.float32)
             key, k1 = jax.random.split(key)
-            lat = codec.encode(feat)
-            z = codec.latent_mean(k1, lat)
+            # fused: one encode+mean call, one 2-direction batched decode
+            (lat,), (z,) = codec.encode_mean(k1, [feat])
             T = len(z)
             # direction indices mirror training codes: src speaker=0, trg=1
             self_idx, other_idx = (0, 1) if is_src else (1, 0)
-            cv = codec.decode(_speaker_codes(T, cfg.n_spk, other_idx), z)
-            cv_self = codec.decode(_speaker_codes(T, cfg.n_spk, self_idx), z)
+            cv, cv_self = codec.decode_batch([
+                (_speaker_codes(T, cfg.n_spk, other_idx), z),
+                (_speaker_codes(T, cfg.n_spk, self_idx), z)])
             if is_src:
                 cvlists["cv"].append(np.var(cv[:, 1:], axis=0))
                 cvlists["cvsrc"].append(np.var(cv_self[:, 1:], axis=0))

@@ -237,18 +237,46 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
             key = jax.random.PRNGKey(4242)
             pairs = list(zip(wavs_src, wavs_trg))
             keys = jax.random.split(key, len(pairs))
-            # thread fan-out: the C++ DSP (analysis/synthesis/DTW) releases
-            # the GIL, TPU codec calls serialize safely through JAX — the
-            # reference fans decode over n_gpus processes (decode…py:552-602)
+            # producer/consumer pipeline (reference fans whole decodes over
+            # n_gpus processes, decode…py:552-602; here one device is shared):
+            # analysis prefetches on worker threads (C++ DSP releases the
+            # GIL), the main thread owns the device, and the metric/synthesis
+            # tail runs on a pool — device decode of pair i overlaps analysis
+            # of i+1.. and synthesis of i-1..
             from concurrent.futures import ThreadPoolExecutor
-            def one(i):
-                ws, wt = pairs[i]
-                return decode_pair(codec, exp, keys[i], ws, wt, outdir,
-                                   f0stats, gv, sc_src.minf0, sc_src.maxf0,
-                                   sc_trg.minf0, sc_trg.maxf0,
-                                   sc_src.pow_threshold, sc_trg.pow_threshold)
-            with ThreadPoolExecutor(max_workers=min(n_jobs, 8)) as ex:
-                all_metrics = list(ex.map(one, range(len(pairs))))
+            from .decode import analyze_pair
+            from ..utils.prefetch import BackgroundGenerator
+
+            from collections import deque
+            n_workers = max(2, min(n_jobs, 8))
+            lookahead = 4
+            ana_pool = ThreadPoolExecutor(max_workers=max(1, n_workers // 2))
+
+            def ana_gen():
+                # bounded lookahead: at most `lookahead` analyses in flight
+                pending = deque()
+                for ws, wt in pairs:
+                    pending.append(ana_pool.submit(
+                        analyze_pair, exp, ws, wt, sc_src.minf0,
+                        sc_src.maxf0, sc_trg.minf0, sc_trg.maxf0,
+                        sc_src.pow_threshold, sc_trg.pow_threshold))
+                    if len(pending) >= lookahead:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+
+            analyses = BackgroundGenerator(ana_gen(), max_prefetch=2)
+            with ThreadPoolExecutor(max_workers=n_workers) as syn_pool:
+                futs = []
+                for i, analysis in enumerate(analyses):
+                    ws, wt = pairs[i]
+                    futs.append(syn_pool.submit(
+                        decode_pair, codec, exp, keys[i], ws, wt, outdir,
+                        f0stats, gv, sc_src.minf0, sc_src.maxf0,
+                        sc_trg.minf0, sc_trg.maxf0, sc_src.pow_threshold,
+                        sc_trg.pow_threshold, analysis=analysis))
+                all_metrics = [f.result() for f in futs]
+            ana_pool.shutdown()
             agg = {k: float(np.mean([m[k] for m in all_metrics]))
                    for k in all_metrics[0]}
             agg_std = {f"{k}_std": float(np.std([m[k] for m in all_metrics]))
