@@ -39,7 +39,21 @@ class WaveRNNConfig:
     hidden_units: int = 896
     fc_dim: int = 128
     feat_dim: int = 54
-    hop: int = 110                # samples per frame (22.05 kHz, 5 ms)
+    # samples per frame — FRACTIONAL: 5 ms @ 22.05 kHz = 110.25 = 441/4.
+    # The old integer hop (110) drifted ~14 ms over a 6 s utterance.
+    hop: float = 110.25
+
+
+def hop_fraction(cfg: WaveRNNConfig) -> Tuple[int, int]:
+    """Exact rational (num, den) for the samples-per-frame hop."""
+    from fractions import Fraction
+    fr = Fraction(cfg.hop).limit_denominator(1000)
+    return fr.numerator, fr.denominator
+
+
+def n_samples_for(cfg: WaveRNNConfig, n_frames: int) -> int:
+    num, den = hop_fraction(cfg)
+    return n_frames * num // den
 
 
 # ---------------------------------------------------------------------------
@@ -83,11 +97,19 @@ def init_wavernn(key, cfg: WaveRNNConfig) -> Dict:
 
 def upsample_cond(params: Dict, cfg: WaveRNNConfig,
                   feats: jnp.ndarray) -> jnp.ndarray:
-    """(B, F, feat_dim) frame features -> (B, F*hop, cond_dim) by dense +
-    nearest-neighbor repeat (the TPU-friendly upsampler; conv upsamplers can
-    slot in here later)."""
+    """(B, F, feat_dim) frame features -> (B, n_samples_for(F), cond_dim) by
+    dense + TRUE-fractional-hop linear interpolation: sample n sits at frame
+    position (n + 0.5)/hop - 0.5, so conditioning stays sample-accurate for
+    non-integer hops (110.25 @ 22.05 kHz/5 ms; nearest-repeat of 110 drifted
+    ~14 ms over 6 s).  One static gather + lerp — TPU-friendly."""
     c = jnp.tanh(feats @ params["cond"]["w"].T + params["cond"]["b"])
-    return jnp.repeat(c, cfg.hop, axis=1)
+    F = c.shape[1]
+    N = n_samples_for(cfg, F)
+    pos = (jnp.arange(N) + 0.5) * (F / N) - 0.5
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, F - 1)
+    i1 = jnp.minimum(i0 + 1, F - 1)
+    w = jnp.clip(pos - i0, 0.0, 1.0)[None, :, None]
+    return c[:, i0] * (1.0 - w) + c[:, i1] * w
 
 
 def embed_gate_table(params: Dict) -> jnp.ndarray:

@@ -251,18 +251,22 @@ class MultSpkEvalClsDataset:
 # ---------------------------------------------------------------------------
 
 def validate_length(x: np.ndarray, y: np.ndarray,
-                    upsampling_factor: Optional[int] = None
+                    upsampling_factor: "Optional[int | float]" = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Reconcile waveform/feature lengths, optionally via an upsampling factor
-    (reference dataset.py:495-514)."""
+    (reference dataset.py:495-514).  Fractional factors (e.g. 110.25 samples
+    per frame at 22.05 kHz / 5 ms) are handled exactly as rationals: frame
+    counts round down to a multiple of the denominator so the sample count is
+    an integer with zero cumulative drift."""
     if upsampling_factor is None:
         n = min(x.shape[0], y.shape[0])
         return x[:n], y[:n]
-    mod_sample = x.shape[0] % upsampling_factor
-    if mod_sample > 0:
-        x = x[:-mod_sample] if mod_sample != x.shape[0] else x
-    n_frames = min(x.shape[0] // upsampling_factor, y.shape[0])
-    return x[:n_frames * upsampling_factor], y[:n_frames]
+    from fractions import Fraction
+    fr = Fraction(upsampling_factor).limit_denominator(1000)
+    num, den = fr.numerator, fr.denominator
+    n_frames = min(x.shape[0] * den // num, y.shape[0])
+    n_frames -= n_frames % den
+    return x[:n_frames * num // den], y[:n_frames]
 
 
 class NeuVocoDataset:
@@ -270,7 +274,8 @@ class NeuVocoDataset:
     (reference FeatureDatasetNeuVoco, dataset.py:517-563)."""
 
     def __init__(self, wav_list: Sequence[str], feat_list: Sequence[str],
-                 upsampling_factor: int, string_path: str = "/feat_org_lf0"):
+                 upsampling_factor: "int | float",
+                 string_path: str = "/feat_org_lf0"):
         assert len(wav_list) == len(feat_list)
         self.wav_list = list(wav_list)
         self.feat_list = list(feat_list)

@@ -29,7 +29,8 @@ from ..dsp import sptk, world
 from ..utils.config import ExperimentConfig
 from ..utils.hdf5 import read_hdf5, write_hdf5
 from ..utils.wavio import low_cut_filter, low_pass_filter, read_wav, write_wav
-from ..models.gru_vae import gru_rnn_apply, sampling_vae_batch
+from ..models.gru_vae import (gru_rnn_apply, sampling_vae_batch,
+                              sampling_vae_laplace_batch)
 from ..vi.train import CycleVAEConfig, CycleVAEParams
 from .features import analyze, convert_continuos_f0, convert_f0, extfrm, mod_pow, spc2npow
 
@@ -69,16 +70,24 @@ class Codec:
         self.n_smpl_dec = n_smpl_dec
         self.bucket = bucket
 
+        # posterior family selects the clamp + reparameterized sampler
+        # (reference gru_vae.py:101-144 Laplace surface)
+        laplace = getattr(cfg, "posterior", "gauss") == "laplace"
+        clamp_kw = ({"clamp_vae_laplace": True} if laplace
+                    else {"clamp_vae": True})
+        sample_fn = (sampling_vae_laplace_batch if laplace
+                     else sampling_vae_batch)
+
         def encode(params, feat):
             lat, _, _ = gru_rnn_apply(params.encoder, cfg.enc_cfg, feat[None],
                                       jnp.zeros((1, cfg.lat_dim * 2)),
-                                      clamp_vae=True, lat_dim=cfg.lat_dim)
+                                      lat_dim=cfg.lat_dim, **clamp_kw)
             return lat[0]
 
         def latent_mean(params, key, lat):
             # mean of n_smpl_dec reparameterized draws (MC estimate of mu;
             # reference decode…py:304-306)
-            draws = sampling_vae_batch(
+            draws = sample_fn(
                 key, jnp.broadcast_to(lat, (n_smpl_dec,) + lat.shape),
                 cfg.lat_dim)
             return jnp.mean(draws, axis=0)
@@ -95,8 +104,8 @@ class Codec:
             lat, _, _ = gru_rnn_apply(
                 params.encoder, cfg.enc_cfg, feats,
                 jnp.zeros((feats.shape[0], cfg.lat_dim * 2)),
-                clamp_vae=True, lat_dim=cfg.lat_dim)
-            draws = sampling_vae_batch(
+                lat_dim=cfg.lat_dim, **clamp_kw)
+            draws = sample_fn(
                 key, jnp.broadcast_to(lat, (n_smpl_dec,) + lat.shape),
                 cfg.lat_dim)
             return lat, jnp.mean(draws, axis=0)

@@ -42,7 +42,8 @@ def model_config(exp: ExperimentConfig) -> CycleVAEConfig:
         in_dim=m.in_dim, out_dim=m.out_dim, lat_dim=m.lat_dim, n_spk=m.n_spk,
         hidden_units=m.hidden_units, hidden_layers=m.hidden_layers,
         kernel_size=m.kernel_size, dilation_size=m.dilation_size,
-        n_cyc=m.n_cyc, do_prob=m.do_prob, stdim=m.stdim)
+        n_cyc=m.n_cyc, do_prob=m.do_prob, stdim=m.stdim,
+        posterior=m.posterior)
 
 
 def _pad_batch_utts(batch: Dict, bsu: int) -> Dict:

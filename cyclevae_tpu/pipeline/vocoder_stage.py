@@ -23,8 +23,10 @@ import optax
 from ..models.wavernn import (
     WaveRNNConfig,
     generate_xla,
+    hop_fraction,
     init_wavernn,
     mulaw_decode,
+    n_samples_for,
     upsample_cond,
     wavernn_loss,
 )
@@ -33,20 +35,27 @@ from ..vi.checkpoint import save_checkpoint
 from .dataset_mult import NeuVocoDataset
 
 
-def sample_clips(ds: NeuVocoDataset, idxs, clip_frames: int, hop: int,
-                 rng: np.random.Generator):
-    """Random fixed-length (clip_frames) wav/feature crops for one batch."""
+def sample_clips(ds: NeuVocoDataset, idxs, clip_frames: int,
+                 cfg: WaveRNNConfig, rng: np.random.Generator):
+    """Random fixed-length (clip_frames) wav/feature crops for one batch.
+    Clip starts align to hop_den frames so the fractional hop (441/4 samples
+    per frame) maps to an exact integer sample offset — no cumulative
+    frame/sample drift across the crop."""
+    num, den = hop_fraction(cfg)
+    n_samp_clip = n_samples_for(cfg, clip_frames)
     feats, wavs = [], []
     for i in idxs:
         item = ds[int(i)]
         F = item["feat"].shape[0]
         n_frames = min(clip_frames, F)
         start = int(rng.integers(0, max(F - clip_frames, 0) + 1))
+        start -= start % den
         f = item["feat"][start:start + n_frames]
-        w = item["x"][start * hop:(start + n_frames) * hop]
-        if n_frames < clip_frames:
+        s0 = start * num // den
+        w = item["x"][s0:s0 + n_samples_for(cfg, n_frames)]
+        if n_frames < clip_frames or len(w) < n_samp_clip:
             f = np.pad(f, ((0, clip_frames - n_frames), (0, 0)))
-            w = np.pad(w, (0, clip_frames * hop - len(w)))
+            w = np.pad(w, (0, n_samp_clip - len(w)))
         feats.append(f)
         wavs.append(w)
     return (jnp.asarray(np.stack(feats), jnp.float32),
@@ -81,7 +90,7 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
             idxs = order[s:s + batch_size]
             if len(idxs) < batch_size:
                 idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
-            feats, wavs = sample_clips(ds, idxs, clip_frames, cfg.hop, np_rng)
+            feats, wavs = sample_clips(ds, idxs, clip_frames, cfg, np_rng)
             params, opt_state, loss = step(params, opt_state, feats, wavs)
             losses.append(float(loss))
         history.append({"epoch": epoch + 1, "nll": float(np.mean(losses)),

@@ -48,6 +48,7 @@ class ModelConfig:
     n_cyc: int = 2
     do_prob: float = 0.5
     stdim: int = 4              # excitation/spectrum split index in feat vec
+    posterior: str = "gauss"    # "gauss" | "laplace" (ref gru_vae.py:101-144)
     spk_src: str = "VCC2SF1"
     spk_trg: str = "VCC2TF1"
 
@@ -89,7 +90,7 @@ class ExperimentConfig:
         """Experiment identity string encoding hyperparameters (run.sh:481 style)."""
         m, t = self.model, self.train
         return (
-            f"tpu-cyclevae-gauss_hl{m.hidden_layers}_hu{m.hidden_units}"
+            f"tpu-cyclevae-{m.posterior}_hl{m.hidden_layers}_hu{m.hidden_units}"
             f"_ld{m.lat_dim}_ks{m.kernel_size}_ds{m.dilation_size}"
             f"_cyc{m.n_cyc}_lr{t.lr:g}_bs{t.batch_size}_bsu{t.batch_size_utt}"
         )

@@ -87,3 +87,29 @@ def test_pallas_sampler_matches_xla_greedy(tiny_cfg):
         idx_pal = pallas_wavernn_generate(params, cfg, cond[None], seed=7,
                                           temperature=0.0)[0]
     np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_ref))
+
+
+def test_fractional_hop_upsampler_no_drift():
+    """110.25 samples/frame (22.05 kHz, 5 ms): upsampled length is exact
+    (no ~300-sample shortfall over 1200 frames) and the conditioning row at
+    sample n tracks frame n/110.25 — the old integer-110 nearest-repeat
+    drifted ~14 ms (300 samples) by the end of a 6 s utterance."""
+    from cyclevae_tpu.models.wavernn import hop_fraction, n_samples_for
+    cfg = WaveRNNConfig(feat_dim=4, cond_dim=8, hop=110.25)
+    assert hop_fraction(cfg) == (441, 4)
+    F = 1200
+    assert n_samples_for(cfg, F) == 132300           # 1200 * 441 / 4
+    params = init_wavernn(jax.random.PRNGKey(0), cfg)
+    # a linear frame ramp must upsample to a linear sample ramp (exact for
+    # the interpolating upsampler; a drifting one bends at the tail)
+    feats = jnp.broadcast_to(
+        jnp.linspace(-1.0, 1.0, F)[:, None], (F, 4)).astype(jnp.float32)
+    cond = np.asarray(upsample_cond(params, cfg, feats[None]))[0]
+    # recover the implied frame position per sample from channel 0 by
+    # inverting the (monotone) tanh-dense: compare against expected position
+    c_frames = np.asarray(jnp.tanh(feats @ params["cond"]["w"].T
+                                   + params["cond"]["b"]))
+    n = np.arange(cond.shape[0])
+    pos_expected = np.clip((n + 0.5) * 4 / 441 - 0.5, 0, F - 1)
+    interp = np.interp(pos_expected, np.arange(F), c_frames[:, 0])
+    np.testing.assert_allclose(cond[:, 0], interp, atol=1e-5)
