@@ -167,133 +167,120 @@ int n_coded_aperiodicity(int fs) {
 std::vector<double> aperiodicity(const double* x, int n, int fs,
                                  const std::vector<double>& time_axis,
                                  const std::vector<double>& f0, int fftl) {
+  // Band aperiodicity via pitch-synchronous PERIOD CORRELATION (replaces a
+  // long-window spectral-sampling estimator).  For each voiced frame and
+  // each 3 kHz band, the normalized cross-correlation between a one-period
+  // segment and the segment one period later — with a two-stage fractional
+  // lag search (coarse +-6% @ 0.5 samples, fine +-0.6 @ 0.05) and averaging
+  // over 4 adjacent period-pairs — estimates rho = H/(H+N); a = sqrt(1-rho).
+  // Rationale: spectral estimators amplify tracker error by the harmonic
+  // number (k*df phase walk over a multi-period window), reading real voiced
+  // speech as ~0.85 aperiodic; the per-period lag search self-aligns, so no
+  // phase accumulates beyond one period.  On analytic fixtures: exact at
+  // constant f0 (a=0.05/0.1/0.3 -> 0.049/0.098/0.295), small floor (~0.08)
+  // under 40 Hz/s chirp + vibrato (tests/test_dsp.py).
   const int half = fftl / 2;
   const int n_frames = (int)f0.size();
   const int n_bands = n_coded_aperiodicity(fs);
   std::vector<double> out((size_t)n_frames * (half + 1), kApCeil);
   const double bin_hz = (double)fs / fftl;
 
+  // band-filtered copies of the full signal (hard masks, one big FFT pair)
+  const size_t nfft = next_pow2((size_t)n);
+  std::vector<double> buf(nfft, 0.0);
+  for (int i = 0; i < n; ++i) buf[i] = x[i];
+  auto X = rfft(buf);
+  const double bin_big = (double)fs / (double)nfft;
+  // internal bands: an extra LOW band (0.2-1.5 kHz, center 0.75k) ahead of
+  // the coded 3k-wide bands — real voiced speech is far more periodic below
+  // 1.5 kHz than at 3 kHz, and flat-extending band 1 down to DC over-noises
+  // the strongest harmonics (audible + breaks re-tracking of the resynth)
+  const int n_all = n_bands + 1;
+  std::vector<double> c_lo(n_all), c_hi(n_all), c_ctr(n_all);
+  c_lo[0] = 200.0; c_hi[0] = kBandHz / 2.0; c_ctr[0] = kBandHz / 4.0;
+  for (int b = 0; b < n_bands; ++b) {
+    const double fc = kBandHz * (b + 1);
+    c_lo[b + 1] = fc - kBandHz / 2.0;
+    c_hi[b + 1] = fc + kBandHz / 2.0;
+    c_ctr[b + 1] = fc;
+  }
+  std::vector<std::vector<double>> xb(n_all);
+  for (int b = 0; b < n_all; ++b) {
+    std::vector<cplx> Xb(X.size(), cplx(0.0, 0.0));
+    const size_t i_lo = (size_t)std::ceil(c_lo[b] / bin_big);
+    const size_t i_hi = std::min((size_t)(c_hi[b] / bin_big), X.size() - 1);
+    for (size_t i = i_lo; i <= i_hi; ++i) Xb[i] = X[i];
+    xb[b] = irfft(Xb, nfft);
+    xb[b].resize(n);
+  }
+
+  auto corr_at = [&](const std::vector<double>& sig, const double* s0,
+                     int len, int lo, double lag) {
+    double num = 0.0, d0 = 0.0, d1 = 0.0;
+    const double i0 = lo + lag;
+    for (int i = 0; i < len; ++i) {
+      const double idx = i0 + i;
+      const int fi = (int)idx;
+      if (fi < 0 || fi + 1 >= n) return -2.0;
+      const double w = idx - fi;
+      const double s1 = sig[fi] * (1.0 - w) + sig[fi + 1] * w;
+      num += s0[i] * s1;
+      d0 += s0[i] * s0[i];
+      d1 += s1 * s1;
+    }
+    const double den = std::sqrt(d0 * d1) + 1e-30;
+    return num / den;
+  };
+
+  auto pair_r = [&](const std::vector<double>& sig, int c, double T0) {
+    const int h = std::max((int)std::llround(T0 / 2.0), 8);
+    const int lo = c - h, len = 2 * h;
+    if (lo < 0 || c + h + (int)(1.1 * T0) + 2 >= n) return -2.0;
+    double e0 = 0.0;
+    for (int i = 0; i < len; ++i) e0 += sig[lo + i] * sig[lo + i];
+    if (e0 < 1e-20) return -2.0;
+    double best = -2.0, l_best = T0;
+    for (double l = 0.94 * T0; l <= 1.06 * T0; l += 0.5) {
+      const double r = corr_at(sig, &sig[lo], len, lo, l);
+      if (r > best) { best = r; l_best = l; }
+    }
+    for (double l = l_best - 0.6; l <= l_best + 0.6001; l += 0.05) {
+      const double r = corr_at(sig, &sig[lo], len, lo, l);
+      if (r > best) best = r;
+    }
+    return best;
+  };
+
   for (int t = 0; t < n_frames; ++t) {
     double* row = &out[(size_t)t * (half + 1)];
     const double f = f0[t];
-    if (f <= 0) {
-      for (int i = 0; i <= half; ++i) row[i] = kApCeil;
-      continue;
-    }
+    if (f <= 0) continue;  // row stays kApCeil
     const int center = (int)std::llround(time_axis[t] * fs);
-    // Long Blackman window (12 periods) on a fine FFT grid: the Blackman main
-    // lobe (full width 6/L = 0.5 f0) keeps harmonic energy out of the
-    // inter-harmonic sampling region and its -58 dB sidelobes set the
-    // estimator floor. 4-period Hann (the previous choice) leaks the entire
-    // main lobe into the "noise" bins — analytic HNR fixtures showed a=0.1
-    // read as 0.29-0.49; with this window + the power-integral ratio below
-    // the same fixtures track truth within ~10% (tests/test_dsp.py).
-    const int win_half = (int)std::llround(6.0 * fs / f);
-    const int L = 2 * win_half + 1;
-    const int fft_fine = (int)next_pow2((size_t)(2 * L));
-    std::vector<double> buf(fft_fine, 0.0), w(L);
-    double wxsum = 0.0, wsum = 0.0, w2sum = 0.0;
-    for (int i = 0; i < L; ++i) {
-      const double ph = 2.0 * M_PI * i / (L - 1);
-      w[i] = 0.42 - 0.5 * std::cos(ph) + 0.08 * std::cos(2.0 * ph);
-      const int idx = center - win_half + i;
-      const double xi = (idx >= 0 && idx < n) ? x[idx] : 0.0;
-      wsum += w[i];
-      wxsum += w[i] * xi;
-      w2sum += w[i] * w[i];
-    }
-    const double dc = wsum > 0 ? wxsum / wsum : 0.0;
-    for (int i = 0; i < L; ++i) {
-      const int idx = center - win_half + i;
-      const double xi = (idx >= 0 && idx < n) ? x[idx] : 0.0;
-      buf[i] = (xi - dc) * w[i];
-    }
-    auto spec = rfft(buf);
-    const int half_fine = fft_fine / 2;
-    const double bin_fine = (double)fs / fft_fine;
-    std::vector<double> ps(half_fine + 1);
-    const double norm = w2sum > 1e-12 ? 1.0 / w2sum : 0.0;
-    for (int i = 0; i <= half_fine; ++i) ps[i] = std::norm(spec[i]) * norm;
-
-    // In-window f0 refinement: a 0.3 Hz tracker error is amplified by the
-    // harmonic number (k~40 at 6 kHz) to ~0.1 f0 — enough to push harmonic
-    // main lobes into the noise comb. LS-fit k*f0 to the measured harmonic
-    // peak positions (parabolic interpolation on log power) first.
-    // Staged fit: low harmonics tolerate tracker errors of several Hz (error
-    // amplified k-fold at harmonic k); each stage's fit recenters the next
-    // stage's peak search so high harmonics can be used safely.
-    double f_ref = f;
-    const int stage_kmax[3] = {4, 12, 40};
-    const double stage_r[3] = {0.3, 0.2, 0.15};
-    for (int s = 0; s < 3; ++s) {
-      double num = 0.0, den = 0.0;
-      const int k_lim = std::min(stage_kmax[s],
-                                 (int)((fs / 2.0 - bin_fine) / f_ref));
-      for (int k = 1; k <= k_lim; ++k) {
-        const int e = (int)std::llround(k * f_ref / bin_fine);
-        const int r = std::max(1, (int)(stage_r[s] * f_ref / bin_fine));
-        int best = -1;
-        double best_v = 0.0;
-        for (int i = std::max(1, e - r);
-             i <= std::min(half_fine - 1, e + r); ++i)
-          if (ps[i] > best_v) { best_v = ps[i]; best = i; }
-        if (best <= 0 || best_v <= 0) continue;
-        const double l0 = std::log(std::max(ps[best - 1], 1e-300));
-        const double l1 = std::log(std::max(ps[best], 1e-300));
-        const double l2 = std::log(std::max(ps[best + 1], 1e-300));
-        const double denom = l0 - 2.0 * l1 + l2;
-        const double off = std::abs(denom) > 1e-12
-                               ? std::clamp(0.5 * (l0 - l2) / denom, -0.5, 0.5)
-                               : 0.0;
-        const double fk = (best + off) * bin_fine;
-        num += k * fk;
-        den += (double)k * k;
+    const double T0 = (double)fs / f;
+    std::vector<double> band_ap(n_all, kApCeil);
+    for (int b = 0; b < n_all; ++b) {
+      double r_sum = 0.0;
+      int n_r = 0;
+      for (double off : {-1.5, -0.5, 0.5, 1.5}) {
+        const double r = pair_r(xb[b], (int)std::llround(center + off * T0),
+                                T0);
+        if (r > -1.5) { r_sum += r; ++n_r; }
       }
-      if (den > 0) {
-        const double fit = num / den;
-        if (std::abs(fit - f_ref) < 0.12 * f_ref) f_ref = fit;
-        else break;
+      if (n_r > 0) {
+        const double rho = std::clamp(r_sum / n_r, 0.0, 1.0);
+        band_ap[b] = std::clamp(std::sqrt(1.0 - rho), kApFloor, kApCeil);
       }
     }
-
-    // per band: inter-harmonic noise density over total band density.
-    // noise_power/total_power = nd*W / (mean_density*W) — the density-ratio
-    // form (nd/hd) overestimates the harmonic density by the inverse of the
-    // harmonic-bin fill fraction and reads a/=2 too low.
-    std::vector<double> band_ap(n_bands);
-    for (int b = 0; b < n_bands; ++b) {
-      const double fc = kBandHz * (b + 1);
-      const double f_lo = std::max(fc - kBandHz / 2.0, f * 1.5);
-      const double f_hi = std::min(fc + kBandHz / 2.0, fs / 2.0 - bin_fine);
-      double noise = 0.0, total = 0.0;
-      int nn = 0, nt = 0;
-      for (int i = (int)(f_lo / bin_fine);
-           i <= (int)(f_hi / bin_fine) && i <= half_fine; ++i) {
-        const double freq = i * bin_fine;
-        const double frac = freq / f_ref - std::floor(freq / f_ref);
-        const double d = std::min(frac, 1.0 - frac);  // cycles to harmonic
-        total += ps[i];
-        ++nt;
-        if (d > 0.35 && d < 0.65) { noise += ps[i]; ++nn; }
-      }
-      double ap2;
-      if (nn == 0 || nt == 0) ap2 = kApCeil * kApCeil;
-      else {
-        const double nd = noise / nn, td = total / nt;
-        ap2 = nd / std::max(td, 1e-300);
-      }
-      band_ap[b] = std::sqrt(std::clamp(ap2, kApFloor * kApFloor, kApCeil * kApCeil));
-    }
-    // interpolate band values (centers at 3k*(b+1)) across the full spectrum
+    // piecewise-linear interpolation between band centers (0.75k, 3k, 6k..)
     for (int i = 0; i <= half; ++i) {
       const double freq = i * bin_hz;
-      const double pos = freq / kBandHz - 1.0;  // band-center index space
       double v;
-      if (pos <= 0) v = band_ap[0];
-      else if (pos >= n_bands - 1) v = band_ap[n_bands - 1];
+      if (freq <= c_ctr[0]) v = band_ap[0];
+      else if (freq >= c_ctr[n_all - 1]) v = band_ap[n_all - 1];
       else {
-        const int b0 = (int)pos;
-        const double w = pos - b0;
+        int b0 = 0;
+        while (b0 + 1 < n_all && c_ctr[b0 + 1] < freq) ++b0;
+        const double w = (freq - c_ctr[b0]) / (c_ctr[b0 + 1] - c_ctr[b0]);
         v = band_ap[b0] * (1 - w) + band_ap[b0 + 1] * w;
       }
       row[i] = std::clamp(v, kApFloor, kApCeil);
@@ -375,13 +362,6 @@ std::vector<double> synthesize(const std::vector<double>& f0,
   const int n_out = (int)std::llround((n_frames - 1) * hop_s * fs) + fftl;
   std::vector<double> y(n_out, 0.0);
 
-  auto frame_at = [&](double t_s) {
-    double pos = t_s / hop_s;
-    int t0 = (int)pos;
-    if (t0 < 0) t0 = 0;
-    if (t0 > n_frames - 1) t0 = n_frames - 1;
-    return t0;
-  };
   auto f0_at = [&](double t_s) -> double {
     const double pos = t_s / hop_s;
     const int t0 = std::clamp((int)pos, 0, n_frames - 1);
