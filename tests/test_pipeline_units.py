@@ -195,6 +195,7 @@ def test_train_lists_nonparallel_split(tmp_path, monkeypatch):
 
 
 def test_vocoder_sample_clips():
+    from cyclevae_tpu.models.wavernn import WaveRNNConfig
     from cyclevae_tpu.pipeline.vocoder_stage import sample_clips
 
     class FakeDS:
@@ -205,12 +206,46 @@ def test_vocoder_sample_clips():
             return {"feat": np.arange(F * 2, dtype=np.float32).reshape(F, 2),
                     "x": np.arange(F * 5, dtype=np.float32) / 100}
 
+    cfg = WaveRNNConfig(hop=5.0)
     rng = np.random.default_rng(0)
-    feats, wavs = sample_clips(FakeDS(), [0, 1], clip_frames=5, hop=5, rng=rng)
+    feats, wavs = sample_clips(FakeDS(), [0, 1], clip_frames=5, cfg=cfg,
+                               rng=rng)
     assert feats.shape == (2, 5, 2)
     assert wavs.shape == (2, 25)
     # short item (3 frames) zero-padded to 5
     assert float(feats[1, 4].sum()) == 0.0
+
+
+def test_vocoder_sample_clips_fractional_hop_no_drift():
+    # 441/4 samples per frame: clip starts align to den=4 frames so the
+    # frame->sample map is exact (models/wavernn.py:42-56)
+    from cyclevae_tpu.models.wavernn import (
+        WaveRNNConfig, hop_fraction, n_samples_for)
+    from cyclevae_tpu.pipeline.vocoder_stage import sample_clips
+
+    cfg = WaveRNNConfig()          # hop=110.25
+    assert hop_fraction(cfg) == (441, 4)
+
+    F = 200
+    n_samp = n_samples_for(cfg, F)
+
+    class FakeDS:
+        def __len__(self):
+            return 1
+        def __getitem__(self, i):
+            return {"feat": np.zeros((F, 2), np.float32),
+                    "x": np.arange(n_samp, dtype=np.float32)}
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        feats, wavs = sample_clips(FakeDS(), [0], clip_frames=8, cfg=cfg,
+                                   rng=rng)
+        assert wavs.shape == (1, n_samples_for(cfg, 8))
+        # first sample of the crop must be exactly start*441/4 — integer,
+        # since start is aligned to a multiple of 4
+        s0 = float(wavs[0, 0])
+        assert s0 == int(s0)
+        assert (int(s0) * 4) % 441 == 0
 
 
 def test_background_generator_prefetch_and_errors():
