@@ -113,3 +113,75 @@ def decode_to_speaker(
         synth(cv_gv, "_GV")
     logging.info("m2m decoded %s -> %s", wav_file, trg_name)
     return out
+
+
+def eval_pair_mult(
+    codec: Codec, exp: ExperimentConfig, paths: RecipePaths,
+    wav_src: str, wav_trg: str, src_spk: str, trg_spk: str,
+    all_speakers: Sequence[str], outdir: Optional[str] = None, key=None,
+    conf_dir: Optional[str] = None,
+) -> Dict[str, float]:
+    """Metric pass for one m2m eval pair: convert the source utterance to
+    ``trg_spk`` through the N-speaker model and report DTW MCD against the
+    target speaker's parallel utterance (the one-to-one stage-6 metric
+    contract, reference decode…py:604-644, on the m2m decode path).
+
+    Returns {"mcdpow_cv", "mcd_cv", "mcd_cvgv", "gv_log_rmse"}."""
+    from ..dsp import dtw as dtw_c
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    fcfg = exp.feature
+    cfg = codec.cfg
+    sc_src = _read_spk_conf(conf_dir, src_spk)
+    sc_trg = _read_spk_conf(conf_dir, trg_spk)
+    fs, x = read_wav(wav_src, cutoff=int(fcfg.highpass_cutoff))
+    src = _feat_from_wav(x, fs, sc_src.minf0, sc_src.maxf0,
+                         sc_src.pow_threshold, fcfg)
+    _, x_t = read_wav(wav_trg, cutoff=int(fcfg.highpass_cutoff))
+    trg = _feat_from_wav(x_t, fs, sc_trg.minf0, sc_trg.maxf0,
+                         sc_trg.pow_threshold, fcfg)
+
+    lat = codec.encode(src["feat"])
+    key, k1 = jax.random.split(key)
+    z = codec.latent_mean(k1, lat)
+    weights = np.zeros(len(all_speakers), np.float32)
+    weights[list(all_speakers).index(trg_spk)] = 1.0
+    code = speaker_interp_code(len(z), cfg.n_spk, weights)
+    cvmcep = codec.decode(code, z)
+
+    mcep_trg_spc = trg["mcep"][trg["spcidx"]].astype(np.float64)
+    cv_spc = cvmcep[src["spcidx"]]
+    metrics: Dict[str, float] = {}
+    _, _, metrics["mcdpow_cv"], _ = dtw_c.dtw_org_to_trg(
+        cv_spc, mcep_trg_spc)
+    _, _, metrics["mcd_cv"], _ = dtw_c.dtw_org_to_trg(
+        cv_spc[:, 1:], mcep_trg_spc[:, 1:])
+
+    gv_t = read_hdf5(paths.stats(trg_spk), "/gv_range_mean")[1:]
+    cv_gv = gv_postfilter_utt(cvmcep, gv_t)
+    _, _, metrics["mcd_cvgv"], _ = dtw_c.dtw_org_to_trg(
+        cv_gv[src["spcidx"]][:, 1:], mcep_trg_spc[:, 1:])
+    metrics["gv_log_rmse"] = float(np.sqrt(np.mean(
+        (np.log(np.maximum(np.var(cv_spc[:, 1:], axis=0), 1e-12))
+         - np.log(np.maximum(gv_t, 1e-12))) ** 2)))
+
+    if outdir is not None:
+        cvmcep_p = mod_pow(cvmcep, src["mcep"], alpha=fcfg.mcep_alpha,
+                           irlen=fcfg.irlen)
+        lm_s = float(read_hdf5(paths.stats(src_spk), "/lf0_range_mean"))
+        ls_s = float(read_hdf5(paths.stats(src_spk), "/lf0_range_std"))
+        lm_t = float(read_hdf5(paths.stats(trg_spk), "/lf0_range_mean"))
+        ls_t = float(read_hdf5(paths.stats(trg_spk), "/lf0_range_std"))
+        cvf0 = convert_f0(src["f0"], lm_s, ls_s, lm_t, ls_t)
+        os.makedirs(outdir, exist_ok=True)
+        base = os.path.splitext(os.path.basename(wav_src))[0]
+        for mat, suffix in ((cvmcep_p, "_noGV"),
+                            (mod_pow(cv_gv, src["mcep"],
+                                     alpha=fcfg.mcep_alpha,
+                                     irlen=fcfg.irlen), "_GV")):
+            cvsp = sptk.mc2sp(mat, fcfg.mcep_alpha, fcfg.fftl)
+            wav = world.synthesize(cvf0, cvsp, src["ap"], fs,
+                                   frame_period=fcfg.shiftms)
+            write_wav(os.path.join(
+                outdir, f"{base}_to_{trg_spk}{suffix}.wav"), fs, wav)
+    return metrics

@@ -63,6 +63,73 @@ def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                                  spk_trg_list, stats_jnt, expdir)
         logging.info("stage 4m done: %d epochs", len(summary["history"]))
 
+    if "6" in stages:
+        # m2m eval decode: every ordered speaker direction over the parallel
+        # eval sets, DTW MCD vs the target utterance (one-to-one stage-6
+        # metric contract on the N-speaker path) + interpolation demo decode
+        import json
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..vi.checkpoint import load_checkpoint
+        from ..vi.train import CycleVAEParams
+        from .decode import Codec
+        from .decode_mult import decode_to_speaker, eval_pair_mult
+        from .train_stage import model_config
+
+        expdir = os.path.join(paths.work, "exp", exp.name() + "_m2m")
+        hist = json.load(open(os.path.join(expdir, "history.json")))
+        epoch = hist["best"]["epoch"]
+        ckpt = load_checkpoint(os.path.join(expdir,
+                                            f"checkpoint-{epoch}.pkl"))
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        codec = Codec(CycleVAEParams(*params), model_config(exp))
+        outdir = os.path.join(expdir, f"wav_m2m_ep{epoch}")
+
+        key = jax.random.PRNGKey(4242)
+        per_dir: dict = {}
+        for src_spk in all_spk:
+            for trg_spk in all_spk:
+                if trg_spk == src_spk:
+                    continue
+                pairs = list(zip(paths.wavs(src_spk, eval_set=True),
+                                 paths.wavs(trg_spk, eval_set=True)))
+                mets = []
+                for i, (ws, wt) in enumerate(pairs):
+                    key, k1 = jax.random.split(key)
+                    mets.append(eval_pair_mult(
+                        codec, exp, paths, ws, wt, src_spk, trg_spk,
+                        all_spk, outdir=outdir if i < 3 else None, key=k1))
+                per_dir[f"{src_spk}-{trg_spk}"] = {
+                    k: float(np.mean([m[k] for m in mets]))
+                    for k in mets[0]}
+                per_dir[f"{src_spk}-{trg_spk}"].update({
+                    f"{k}_std": float(np.std([m[k] for m in mets]))
+                    for k in mets[0]})
+
+        # interpolation demo: first eval utterance of the first source
+        # speaker swept through speaker space (reference has no counterpart;
+        # BASELINE.json north-star config 5)
+        demo_wav = paths.wavs(all_spk[0], eval_set=True)[0]
+        for w0 in (0.75, 0.5, 0.25):
+            decode_to_speaker(codec, exp, paths, demo_wav, all_spk[0],
+                              all_spk, [w0, 1.0 - w0] + [0.0] *
+                              (len(all_spk) - 2), outdir)
+
+        overall = {k: float(np.mean([d[k] for d in per_dir.values()]))
+                   for k in next(iter(per_dir.values()))
+                   if not k.endswith("_std")}
+        agg = {"per_direction": per_dir, "overall": overall,
+               "epoch": epoch}
+        with open(os.path.join(expdir,
+                               f"decode_metrics_m2m_ep{epoch}.json"),
+                  "w") as f:
+            json.dump(agg, f, indent=2)
+        logging.info("stage 6m done: overall %s",
+                     {k: round(v, 3) for k, v in overall.items()})
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cyclevae_tpu.recipe_mult")
@@ -73,12 +140,15 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--n-train", type=int, default=40)
+    p.add_argument("--wav-root", default="/root/reference/egs/one-to-one/wav",
+                   help="corpus root (stage 6 eval decode reads eval wavs)")
     args = p.parse_args(argv)
     exp = load_config(args.config) if args.config else ExperimentConfig()
     if args.epochs is not None:
         exp.train.epoch_count = args.epochs
     exp.model.n_spk = len(args.src_speakers) + len(args.trg_speakers)
-    paths = RecipePaths(wav_root="", work=args.work, n_train=args.n_train)
+    paths = RecipePaths(wav_root=args.wav_root, work=args.work,
+                        n_train=args.n_train)
     run_mult_stages(args.stage, exp, paths, args.src_speakers,
                     args.trg_speakers)
 

@@ -183,3 +183,15 @@ def test_m2m_recipe_on_synthetic(corpus, tmp_path):
     out2 = decode_to_speaker(codec, exp, paths, wav, "SPKA",
                              ["SPKA", "SPKB"], [0.5, 0.5], outdir)
     assert "mix-0.50-0.50" in out2["_noGV"]
+
+    # stage 6m: eval decode over every direction with DTW MCD metrics
+    run_mult_stages("6", exp, paths, ["SPKA"], ["SPKB"])
+    mdir = os.path.join(paths.work, "exp", exp.name() + "_m2m")
+    ep = json.load(open(os.path.join(mdir, "history.json")))["best"]["epoch"]
+    m = json.load(open(os.path.join(
+        mdir, f"decode_metrics_m2m_ep{ep}.json")))
+    assert set(m["per_direction"]) == {"SPKA-SPKB", "SPKB-SPKA"}
+    assert np.isfinite(m["overall"]["mcdpow_cv"])
+    m2m_wavs = os.listdir(os.path.join(mdir, f"wav_m2m_ep{ep}"))
+    assert any("_to_SPKB_GV" in w for w in m2m_wavs)
+    assert any("_to_mix-" in w for w in m2m_wavs)
