@@ -307,8 +307,9 @@ def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
                                                   all_states)
                 # mark device-varying (the value is replicated arithmetic,
                 # but the carry slot is a per-device array)
-                log_w_r = jax.lax.pvary(
-                    jnp.full((n_local,), log_sum - jnp.log(n)), "dp")
+                log_w_r = jax.lax.pcast(
+                    jnp.full((n_local,), log_sum - jnp.log(n)), "dp",
+                    to="varying")
                 return states_r, log_w_r, jnp.asarray(True), idx_local
 
             def no_resample(args):
@@ -323,9 +324,11 @@ def smc_filter_sharded(mesh, key, T, init, propagate, log_weight,
                 out = out + (stored, anc_local)
             return (key, states, log_w, log_sum), out
 
-        log_w0 = jax.lax.pvary(jnp.full((n_local,), -jnp.log(n)), "dp")
-        states = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, "dp"),
-                                        states)
+        def _vary(x):
+            return jax.lax.pcast(x, "dp", to="varying")
+
+        log_w0 = _vary(jnp.full((n_local,), -jnp.log(n)))
+        states = jax.tree_util.tree_map(_vary, states)
         (key, states, log_w, _), outs = jax.lax.scan(
             step, (key, states, log_w0, 0.0), jnp.arange(T))
         lmax = jax.lax.pmax(jnp.max(log_w), "dp")
