@@ -122,6 +122,7 @@ def main():
             ("bf16_scan_bsu64",
              CycleVAEConfig(compute_dtype="bfloat16"), 64),
             ("bf16_pallas_bsu64", fast, 64),
+            ("bf16_pallas_bsu128", fast, 128),
         ]
 
     results = {}
