@@ -30,17 +30,25 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            _build()
+        # CYCLEVAE_DSP_LIB pins an exact prebuilt library (feature
+        # reproducibility: decode with the same DSP build that extracted a
+        # model's training features, even after the in-tree DSP evolves)
+        override = os.environ.get("CYCLEVAE_DSP_LIB")
+        if override:
+            path = override
         else:
-            # rebuild if any source is newer than the library
-            lib_mtime = os.path.getmtime(_LIB_PATH)
-            for f in os.listdir(_NATIVE_DIR):
-                if f.endswith((".cc", ".h")) and os.path.getmtime(
-                        os.path.join(_NATIVE_DIR, f)) > lib_mtime:
-                    _build()
-                    break
-        lib = ctypes.CDLL(_LIB_PATH)
+            path = _LIB_PATH
+            if not os.path.exists(path):
+                _build()
+            else:
+                # rebuild if any source is newer than the library
+                lib_mtime = os.path.getmtime(path)
+                for f in os.listdir(_NATIVE_DIR):
+                    if f.endswith((".cc", ".h")) and os.path.getmtime(
+                            os.path.join(_NATIVE_DIR, f)) > lib_mtime:
+                        _build()
+                        break
+        lib = ctypes.CDLL(path)
 
         lib.cvdsp_n_frames.restype = c_int
         lib.cvdsp_n_frames.argtypes = [c_int, c_int, c_dbl]
