@@ -133,6 +133,12 @@ def main():
             results[label] = f"error: {type(e).__name__}: {e}"
 
     numeric = {k: v for k, v in results.items() if isinstance(v, float)}
+    if not numeric:  # every variant errored: still emit the JSON line
+        print(json.dumps({
+            "metric": "cyclevae_train_frames_per_sec", "value": None,
+            "unit": "frames/s", "vs_baseline": None, "variants": results,
+        }))
+        return
     best_label = max(numeric, key=numeric.get)
     best_fps = numeric[best_label]
 

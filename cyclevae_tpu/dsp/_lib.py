@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import fcntl
 import os
 import subprocess
 import threading
@@ -36,19 +37,29 @@ def get_lib() -> ctypes.CDLL:
         override = os.environ.get("CYCLEVAE_DSP_LIB")
         if override:
             path = override
+            lib = ctypes.CDLL(path)
         else:
+            # Cross-process exclusive flock held across check+build+dlopen:
+            # stage-1 spawns n_jobs worker processes that all lazily
+            # get_lib() — without this, concurrent `make` runs race writing
+            # libcvdsp.so and a worker can dlopen a half-written library.
             path = _LIB_PATH
-            if not os.path.exists(path):
-                _build()
-            else:
-                # rebuild if any source is newer than the library
-                lib_mtime = os.path.getmtime(path)
-                for f in os.listdir(_NATIVE_DIR):
-                    if f.endswith((".cc", ".h")) and os.path.getmtime(
-                            os.path.join(_NATIVE_DIR, f)) > lib_mtime:
+            with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    if not os.path.exists(path):
                         _build()
-                        break
-        lib = ctypes.CDLL(path)
+                    else:
+                        # rebuild if any source is newer than the library
+                        lib_mtime = os.path.getmtime(path)
+                        for f in os.listdir(_NATIVE_DIR):
+                            if f.endswith((".cc", ".h")) and os.path.getmtime(
+                                    os.path.join(_NATIVE_DIR, f)) > lib_mtime:
+                                _build()
+                                break
+                    lib = ctypes.CDLL(path)
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
 
         lib.cvdsp_n_frames.restype = c_int
         lib.cvdsp_n_frames.argtypes = [c_int, c_int, c_dbl]

@@ -194,17 +194,25 @@ def gru_rnn_apply(
         # fused Pallas AR scan with VMEM-resident weights (~1.36x over the
         # XLA scan at batch >=128, 82% of the bf16 matmul roofline)
         from ..ops.gru_scan import precompute_input_gates
-        if out_mask is not None:
-            # training path: custom-VJP wrapper (Pallas fwd on TPU, bulk-
-            # recompute reverse-scan bwd — ops/gru_ar_vjp.py)
+        if do or jax.default_backend() == "cpu":
+            # training path (differentiable; also any CPU run): custom-VJP
+            # wrapper — Pallas fwd on TPU, XLA fallback elsewhere, bulk-
+            # recompute reverse-scan bwd (ops/gru_ar_vjp.py).  A do_prob=0
+            # training config still needs the VJP, so route by `do`, not by
+            # mask presence, with an all-ones mask when dropout is off.
             from ..ops.gru_ar_vjp import gru_ar_fused
             g0 = gru_p[0]
             conv_dim = conv_seq.shape[-1]
             gx = precompute_input_gates(g0, conv_seq)
+            if out_mask is None:
+                out_mask = jnp.ones(
+                    (B, T, cfg.hidden_units), dtype=conv_seq.dtype)
             trj, y_last, h_last1 = gru_ar_fused(
                 g0["w_ih"][:, conv_dim:], g0["w_hh"], g0["b_hh"],
                 out_p["w"], out_p["b"], gx, y_in, h_in[0], out_mask, "auto")
         else:
+            # inference path (no grad, TPU backend): raw fused kernel — no
+            # h_seq streaming, fastest variant.
             from ..ops.pallas_gru import pallas_gru_ar
             gx = precompute_input_gates(gru_p[0], conv_seq)
             trj, y_last, h_last1 = pallas_gru_ar(

@@ -66,10 +66,23 @@ def make_sharded_train_step(cfg, optimizer, seg_len: int, n_segs: int,
     """
     from ..vi.train import build_step_fn
 
-    # The step body is EXACTLY the single-device one (vi.train.build_step_fn);
-    # jit honors the committed input shardings produced by replicate() /
-    # shard_batch() (ndim-aware: 4-D many-to-many arrays shard axis 1), and the
+    # The step body is EXACTLY the single-device one (vi.train.build_step_fn).
+    # Shardings are enforced with in-graph constraints rather than trusting
+    # the caller to have committed the inputs via replicate()/shard_batch():
+    # a host numpy batch would otherwise silently run fully replicated.
+    # Constraints are ndim-aware (4-D many-to-many arrays shard axis 1); the
     # per-segment loss sums over utterances, so XLA inserts the cross-device
     # psum automatically; every device applies identical Adam updates.
-    return jax.jit(build_step_fn(cfg, optimizer, seg_len, n_segs),
-                   donate_argnums=(0,))
+    step = build_step_fn(cfg, optimizer, seg_len, n_segs)
+    repl = NamedSharding(mesh, P())
+
+    def sharded_step(ts, batch):
+        ts = jax.lax.with_sharding_constraint(ts, repl)
+        batch = {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, batch_spec(np.ndim(v))))
+            for k, v in batch.items()
+        }
+        return step(ts, batch)
+
+    return jax.jit(sharded_step, donate_argnums=(0,))

@@ -208,12 +208,15 @@ class MultSpkEvalClsDataset:
         self.spk_src_list = list(spk_src_list)
         self.spk_trg_list = list(spk_trg_list)
         self.all_spk = self.spk_src_list + self.spk_trg_list
-        n_eval_utt = len(file_list_src_list[0])
         sched = eval_pair_schedule(len(spk_src_list), len(spk_trg_list))
         self.pairs: List[Tuple[str, str]] = []
         self.count_spk_pair_cv = {
             s: {t: 0 for t in self.spk_trg_list} for s in self.spk_src_list}
         for s_idx, t_idx in enumerate(sched):
+            # speakers may have unequal eval counts; pair up to the shorter
+            # list (indexing past a shorter partner list would raise)
+            n_eval_utt = min(len(file_list_src_list[s_idx]),
+                             len(file_list_trg_list[t_idx]))
             for i in range(n_eval_utt):
                 self.count_spk_pair_cv[self.spk_src_list[s_idx]][
                     self.spk_trg_list[t_idx]] += 1

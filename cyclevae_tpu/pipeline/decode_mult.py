@@ -32,7 +32,7 @@ from ..utils.wavio import read_wav, write_wav
 from .decode import Codec, speaker_interp_code
 from .features import convert_f0, mod_pow
 from .recipe import RecipePaths, SpeakerConf, _read_spk_conf
-from .decode import _feat_from_wav
+from .decode import _feat_from_wav, analyze_pair
 
 
 def gv_postfilter_utt(cvmcep: np.ndarray, gv_mean_trg: np.ndarray) -> np.ndarray:
@@ -134,12 +134,10 @@ def eval_pair_mult(
     cfg = codec.cfg
     sc_src = _read_spk_conf(conf_dir, src_spk)
     sc_trg = _read_spk_conf(conf_dir, trg_spk)
-    fs, x = read_wav(wav_src, cutoff=int(fcfg.highpass_cutoff))
-    src = _feat_from_wav(x, fs, sc_src.minf0, sc_src.maxf0,
-                         sc_src.pow_threshold, fcfg)
-    _, x_t = read_wav(wav_trg, cutoff=int(fcfg.highpass_cutoff))
-    trg = _feat_from_wav(x_t, fs, sc_trg.minf0, sc_trg.maxf0,
-                         sc_trg.pow_threshold, fcfg)
+    ana = analyze_pair(exp, wav_src, wav_trg, sc_src.minf0, sc_src.maxf0,
+                       sc_trg.minf0, sc_trg.maxf0, sc_src.pow_threshold,
+                       sc_trg.pow_threshold)
+    fs, src, trg = ana["fs"], ana["src"], ana["trg"]
 
     lat = codec.encode(src["feat"])
     key, k1 = jax.random.split(key)

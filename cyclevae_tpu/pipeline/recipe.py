@@ -240,9 +240,10 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
             # producer/consumer pipeline (reference fans whole decodes over
             # n_gpus processes, decode…py:552-602; here one device is shared):
             # analysis prefetches on worker threads (C++ DSP releases the
-            # GIL), the main thread owns the device, and the metric/synthesis
-            # tail runs on a pool — device decode of pair i overlaps analysis
-            # of i+1.. and synthesis of i-1..
+            # GIL) ahead of the decode pool; decode_pair's device calls
+            # serialize inside JAX while the host DSP/metric tails of other
+            # pairs run concurrently — device decode of pair i overlaps
+            # analysis of i+1.. and synthesis of i-1..
             from concurrent.futures import ThreadPoolExecutor
             from .decode import analyze_pair
             from ..utils.prefetch import BackgroundGenerator
@@ -266,17 +267,19 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                     yield pending.popleft().result()
 
             analyses = BackgroundGenerator(ana_gen(), max_prefetch=2)
-            with ThreadPoolExecutor(max_workers=n_workers) as syn_pool:
-                futs = []
-                for i, analysis in enumerate(analyses):
-                    ws, wt = pairs[i]
-                    futs.append(syn_pool.submit(
-                        decode_pair, codec, exp, keys[i], ws, wt, outdir,
-                        f0stats, gv, sc_src.minf0, sc_src.maxf0,
-                        sc_trg.minf0, sc_trg.maxf0, sc_src.pow_threshold,
-                        sc_trg.pow_threshold, analysis=analysis))
-                all_metrics = [f.result() for f in futs]
-            ana_pool.shutdown()
+            try:
+                with ThreadPoolExecutor(max_workers=n_workers) as syn_pool:
+                    futs = []
+                    for i, analysis in enumerate(analyses):
+                        ws, wt = pairs[i]
+                        futs.append(syn_pool.submit(
+                            decode_pair, codec, exp, keys[i], ws, wt, outdir,
+                            f0stats, gv, sc_src.minf0, sc_src.maxf0,
+                            sc_trg.minf0, sc_trg.maxf0, sc_src.pow_threshold,
+                            sc_trg.pow_threshold, analysis=analysis))
+                    all_metrics = [f.result() for f in futs]
+            finally:
+                ana_pool.shutdown(wait=False, cancel_futures=True)
             agg = {k: float(np.mean([m[k] for m in all_metrics]))
                    for k in all_metrics[0]}
             agg_std = {f"{k}_std": float(np.std([m[k] for m in all_metrics]))

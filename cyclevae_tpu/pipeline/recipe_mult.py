@@ -102,6 +102,8 @@ def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                     mets.append(eval_pair_mult(
                         codec, exp, paths, ws, wt, src_spk, trg_spk,
                         all_spk, outdir=outdir if i < 3 else None, key=k1))
+                if not mets:  # no eval wavs for this direction
+                    continue
                 per_dir[f"{src_spk}-{trg_spk}"] = {
                     k: float(np.mean([m[k] for m in mets]))
                     for k in mets[0]}

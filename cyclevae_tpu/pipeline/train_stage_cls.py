@@ -105,6 +105,13 @@ def run_train_cls(exp: ExperimentConfig, feat_files: Sequence[str],
                                     spk_src_list, spk_trg_list)
     step = make_classifier_step(cfg, opt)
 
+    # hoisted so the jit cache persists across utterances/epochs (a fresh
+    # lambda per call would retrace+recompile every single eval forward)
+    @jax.jit
+    def eval_forward(p, f):
+        return gru_rnn_apply(p, cfg, f, jnp.zeros((1, cfg.out_dim)),
+                             softmax=True)
+
     history: List[Dict] = []
     bsu = tcfg.batch_size_utt
     for epoch in range(tcfg.epoch_count):
@@ -127,10 +134,7 @@ def run_train_cls(exp: ExperimentConfig, feat_files: Sequence[str],
             for side in ("src", "trg"):
                 r = item[side]
                 feats = jnp.asarray(r["feats"][None])
-                probs, _, _ = jax.jit(
-                    lambda p, f: gru_rnn_apply(
-                        p, cfg, f, jnp.zeros((1, cfg.out_dim)), softmax=True)
-                )(params, feats)
+                probs, _, _ = eval_forward(params, feats)
                 pred = np.asarray(jnp.argmax(probs[0], axis=-1))
                 correct += float((pred == r["class_code"]).sum())
                 total += len(pred)
