@@ -29,9 +29,19 @@ def enable_compilation_cache(path: str = "/tmp/cyclevae_jax_cache"):
     """Persistent XLA compilation cache: new processes reuse compiled programs
     (the tunneled TPU attachment compiles remotely at ~30-90 s per program, so
     per-process recompiles dominate short runs). Called by the recipe CLI and
-    bench entry points; safe to call multiple times."""
+    bench entry points; safe to call multiple times.
+
+    Also honors ``CYCLEVAE_PLATFORM`` (e.g. ``cpu``): some TPU plugins ignore
+    the standard ``JAX_PLATFORMS`` env var, so a CLI run that must NOT touch
+    the (possibly busy, single-tenant) TPU chip can pin the backend here —
+    this runs before first backend use in every driver."""
+    import os
+
     import jax
 
+    platform = os.environ.get("CYCLEVAE_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

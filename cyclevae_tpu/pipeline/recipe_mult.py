@@ -7,6 +7,9 @@ artifacts as the one-to-one recipe:
 
   stage 3m  per-partner converted excitation (/cvuvlogf0fil_ap_<spk>)
   stage 4m  N-speaker CycleVAE training (random conversion pair per cycle)
+  stage 5m  per-direction GV calibration (N·N batched directions/utterance)
+  stage 6m  eval decode over every ordered direction + interpolation demo
+            (runs 5m inline first if the model is uncalibrated)
 
 Usage:
   python -m cyclevae_tpu.pipeline.recipe_mult --work /path/to/work \
@@ -63,20 +66,15 @@ def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                                  spk_trg_list, stats_jnt, expdir)
         logging.info("stage 4m done: %d epochs", len(summary["history"]))
 
-    if "6" in stages:
-        # m2m eval decode: every ordered speaker direction over the parallel
-        # eval sets, DTW MCD vs the target utterance (one-to-one stage-6
-        # metric contract on the N-speaker path) + interpolation demo decode
+    if "5" in stages or "6" in stages:
         import json
 
         import jax
         import jax.numpy as jnp
-        import numpy as np
 
         from ..vi.checkpoint import load_checkpoint
         from ..vi.train import CycleVAEParams
         from .decode import Codec
-        from .decode_mult import decode_to_speaker, eval_pair_mult
         from .train_stage import model_config
 
         expdir = os.path.join(paths.work, "exp", exp.name() + "_m2m")
@@ -86,6 +84,30 @@ def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                                             f"checkpoint-{epoch}.pkl"))
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
         codec = Codec(CycleVAEParams(*params), model_config(exp))
+        model_id = f"{exp.name()}_m2m_ep{epoch}"
+
+    if "5" in stages:
+        # stage 5m: per-direction GV calibration over training data
+        from .decode_mult import calc_cvgv_mult
+        calc_cvgv_mult(codec, paths, all_spk, model_id,
+                       key=jax.random.PRNGKey(5))
+        logging.info("stage 5m done")
+
+    if "6" in stages:
+        # m2m eval decode: every ordered speaker direction over the parallel
+        # eval sets, DTW MCD vs the target utterance (one-to-one stage-6
+        # metric contract on the N-speaker path) + interpolation demo decode
+        import numpy as np
+
+        from .decode_mult import (calc_cvgv_mult, decode_to_speaker,
+                                  eval_pair_mult, load_cvgv_mult)
+
+        if load_cvgv_mult(paths, all_spk[0], all_spk[-1], model_id) is None:
+            # decode alone on an uncalibrated model: run stage 5m inline so
+            # the GV postfilter uses the corpus-calibrated per-direction
+            # stats rather than the utterance-level fallback
+            calc_cvgv_mult(codec, paths, all_spk, model_id,
+                           key=jax.random.PRNGKey(5))
         outdir = os.path.join(expdir, f"wav_m2m_ep{epoch}")
 
         key = jax.random.PRNGKey(4242)
@@ -101,7 +123,8 @@ def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                     key, k1 = jax.random.split(key)
                     mets.append(eval_pair_mult(
                         codec, exp, paths, ws, wt, src_spk, trg_spk,
-                        all_spk, outdir=outdir if i < 3 else None, key=k1))
+                        all_spk, outdir=outdir if i < 3 else None, key=k1,
+                        model_id=model_id))
                 if not mets:  # no eval wavs for this direction
                     continue
                 per_dir[f"{src_spk}-{trg_spk}"] = {

@@ -195,3 +195,13 @@ def test_m2m_recipe_on_synthetic(corpus, tmp_path):
     m2m_wavs = os.listdir(os.path.join(mdir, f"wav_m2m_ep{ep}"))
     assert any("_to_SPKB_GV" in w for w in m2m_wavs)
     assert any("_to_mix-" in w for w in m2m_wavs)
+
+    # stage 6m ran the 5m calibration inline: per-direction model GV stats
+    # (incl. self-reconstruction) are in each source speaker's stats file
+    from cyclevae_tpu.pipeline.decode_mult import load_cvgv_mult
+    mid = f"{exp.name()}_m2m_ep{ep}"
+    for s in ("SPKA", "SPKB"):
+        for t in ("SPKA", "SPKB"):
+            gv = load_cvgv_mult(paths, s, t, mid)
+            assert gv is not None and gv.shape == (exp.model.out_dim - 1,)
+            assert np.all(gv > 0)
