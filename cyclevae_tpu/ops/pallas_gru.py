@@ -171,6 +171,10 @@ def pallas_gru_ar_train(
     trj_t, y_T, h_T, hseq_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # the default 16 MiB scoped-vmem stack overflows at B>=256 (the
+        # streamed h_seq/trj output blocks); v5e has 128 MiB VMEM — raise the
+        # cap so big fused batches (bsu>=128 with 2 directions) compile
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((T, B, out_dim), jnp.float32),
             jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
@@ -253,6 +257,9 @@ def pallas_gru_ar(
     trj_t, y_T, h_T = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # see pallas_gru_ar_train: raise the 16 MiB scoped-vmem cap for
+        # large fused batches (chains/particles/utterances ride B)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((T, B, out_dim), jnp.float32),
             jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
