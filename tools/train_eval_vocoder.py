@@ -1,0 +1,122 @@
+"""Train the WaveRNN-class neural vocoder on one speaker's natural
+wav/feature pairs, then measure copy-synthesis quality on held-out eval
+utterances: re-analyze the vocoded waveform and report DTW MCD vs the
+original mel-cepstra plus voiced-F0 relative error.
+
+The reference defines the vocoder data surface (FeatureDatasetNeuVoco,
+dataset.py:495-563) but ships no trainer or quality metric; this completes
+the loop (TODO "vocoder quality eval").
+
+Usage:
+  python tools/train_eval_vocoder.py --work /tmp/vcwork2 --speaker VCC2TF1 \
+      --epochs 60 --n-train 40 --n-eval 5 --out /tmp/vocoder_eval.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--work", required=True)
+    p.add_argument("--speaker", default="VCC2TF1")
+    p.add_argument("--wav-root", default="/root/reference/egs/one-to-one/wav")
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--n-train", type=int, default=40)
+    p.add_argument("--n-eval", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--clip-frames", type=int, default=24)
+    p.add_argument("--hidden-units", type=int, default=896)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from cyclevae_tpu import enable_compilation_cache
+    enable_compilation_cache()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %I:%M:%S")
+
+    import jax
+
+    from cyclevae_tpu.dsp import dtw as dtw_c
+    from cyclevae_tpu.models.wavernn import WaveRNNConfig
+    from cyclevae_tpu.pipeline.decode import _feat_from_wav
+    from cyclevae_tpu.pipeline.recipe import RecipePaths, _read_spk_conf
+    from cyclevae_tpu.pipeline.vocoder_stage import (run_train_vocoder,
+                                                     synthesize_vocoder)
+    from cyclevae_tpu.utils.config import ExperimentConfig
+    from cyclevae_tpu.utils.hdf5 import read_hdf5
+    from cyclevae_tpu.utils.wavio import read_wav, write_wav
+
+    spk = args.speaker
+    paths = RecipePaths(wav_root=args.wav_root, work=args.work,
+                        n_train=args.n_train)
+    exp = ExperimentConfig()
+    sc = _read_spk_conf(None, spk)
+
+    wavs = paths.wavs(spk)[:args.n_train]
+    feats = paths.h5s(spk)[:args.n_train]
+    assert len(wavs) == len(feats) and wavs, "run stages 1-2 first"
+
+    cfg = WaveRNNConfig(hidden_units=args.hidden_units)
+    expdir = os.path.join(args.work, "exp", f"vocoder_{spk}_hu{cfg.hidden_units}")
+    res = run_train_vocoder(cfg, wavs, feats, expdir, epochs=args.epochs,
+                            batch_size=args.batch_size,
+                            clip_frames=args.clip_frames)
+    params = res["params"]
+
+    # --- copy-synthesis quality on held-out eval utterances ---------------
+    eval_wavs = paths.wavs(spk, eval_set=True)[:args.n_eval]
+    fcfg = exp.feature
+    mets = []
+    outdir = os.path.join(expdir, "wav_vocoded")
+    os.makedirs(outdir, exist_ok=True)
+    for i, wf in enumerate(eval_wavs):
+        fs, x = read_wav(wf, cutoff=int(fcfg.highpass_cutoff))
+        ana = _feat_from_wav(x, fs, sc.minf0, sc.maxf0, sc.pow_threshold, fcfg)
+        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i)
+        out_path = os.path.join(outdir, os.path.basename(wf))
+        write_wav(out_path, fs, y.astype(np.float32))
+        # re-analyze the vocoded waveform with the same bounds
+        re = _feat_from_wav(y.astype(np.float64), fs, sc.minf0, sc.maxf0,
+                            sc.pow_threshold, fcfg)
+        m = {}
+        a = ana["mcep"][ana["spcidx"]].astype(np.float64)
+        b = re["mcep"][re["spcidx"]].astype(np.float64)
+        _, _, m["mcdpow"], _ = dtw_c.dtw_org_to_trg(b, a)
+        _, _, m["mcd"], _ = dtw_c.dtw_org_to_trg(b[:, 1:], a[:, 1:])
+        # voiced-F0 relative error over the overlapping frame range
+        n = min(len(ana["f0"]), len(re["f0"]))
+        v = (ana["f0"][:n] > 0) & (re["f0"][:n] > 0)
+        m["f0_rel_err_median"] = float(np.median(
+            np.abs(re["f0"][:n][v] - ana["f0"][:n][v]) / ana["f0"][:n][v])) \
+            if v.any() else float("nan")
+        m["uv_agree"] = float(np.mean((ana["f0"][:n] > 0) == (re["f0"][:n] > 0)))
+        mets.append(m)
+        logging.info("vocoded %s: %s", os.path.basename(wf),
+                     {k: round(v, 4) for k, v in m.items()})
+
+    agg = {k: float(np.mean([m[k] for m in mets])) for k in mets[0]}
+    agg.update({f"{k}_std": float(np.std([m[k] for m in mets]))
+                for k in mets[0]})
+    summary = {"speaker": spk, "epochs": args.epochs,
+               "final_nll": res["history"][-1]["nll"],
+               "n_eval": len(mets), "copy_synthesis": agg}
+    out_path = args.out or os.path.join(expdir, "vocoder_eval.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    logging.info("vocoder eval: %s", json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
