@@ -34,7 +34,7 @@ from ..utils.hdf5 import check_hdf5, read_hdf5, write_hdf5
 from ..utils.wavio import read_wav, write_wav
 from .decode import Codec, speaker_interp_code, _speaker_codes, gv_postfilter
 from .features import convert_f0, mod_pow
-from .recipe import RecipePaths, SpeakerConf, _read_spk_conf
+from .recipe import RecipePaths, _read_spk_conf
 from .decode import _feat_from_wav, analyze_pair
 
 
