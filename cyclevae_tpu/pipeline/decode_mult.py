@@ -120,9 +120,8 @@ def decode_to_speaker(
     src = _feat_from_wav(x, fs, sc_src.minf0, sc_src.maxf0,
                          sc_src.pow_threshold, fcfg)
 
-    lat = codec.encode(src["feat"])
     key, k1 = jax.random.split(key)
-    z = codec.latent_mean(k1, lat)
+    (_,), (z,) = codec.encode_mean(k1, [src["feat"]])  # fused, one call
     T = len(z)
 
     if isinstance(trg, str):
@@ -204,9 +203,10 @@ def eval_pair_mult(
                        sc_trg.pow_threshold)
     fs, src, trg = ana["fs"], ana["src"], ana["trg"]
 
-    lat = codec.encode(src["feat"])
     key, k1 = jax.random.split(key)
-    z = codec.latent_mean(k1, lat)
+    # fused encode + posterior-mean draw: one device call (vs encode +
+    # latent_mean — each synced call pays the tunnel's fixed RTT)
+    (_,), (z,) = codec.encode_mean(k1, [src["feat"]])
     weights = np.zeros(len(all_speakers), np.float32)
     weights[list(all_speakers).index(trg_spk)] = 1.0
     code = speaker_interp_code(len(z), cfg.n_spk, weights)
