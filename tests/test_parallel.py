@@ -77,3 +77,39 @@ def test_sharded_batch_placement():
     shard_shapes = [s.data.shape for s in sb["feats"].addressable_shards]
     assert all(s[0] == 1 for s in shard_shapes)
     assert len(shard_shapes) == 8
+
+
+def test_sharded_step_enforces_dp_on_uncommitted_batch():
+    """make_sharded_train_step constrains shardings in-graph: a caller that
+    passes a host numpy batch (no shard_batch) must still end up dp-sharded,
+    not silently replicated."""
+    cfg = CycleVAEConfig(hidden_units=32, n_cyc=1, do_prob=0.0)
+    B, seg, n_segs = 8, 20, 2
+    batch = _make_batch(B, seg * n_segs)  # host numpy, uncommitted
+    opt = make_optimizer(cfg, lr=1e-4)
+
+    # single-device reference first (the sharded step donates its TrainState,
+    # and replicate() on the CPU mesh aliases the device-0 buffers)
+    params1 = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                            np.zeros(54, np.float32), np.ones(54, np.float32))
+    ts1 = TrainState(params1, opt.init(params1), jax.random.PRNGKey(7),
+                     jnp.zeros((), jnp.int32))
+    _, m1 = make_train_step(cfg, opt, seg, n_segs)(ts1, batch)
+
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32), np.ones(54, np.float32))
+    mesh = make_mesh(8)
+    ts = TrainState(replicate(mesh, params), replicate(mesh, opt.init(params)),
+                    replicate(mesh, jax.random.PRNGKey(7)),
+                    replicate(mesh, jnp.zeros((), jnp.int32)))
+    step = make_sharded_train_step(cfg, opt, seg, n_segs, mesh)
+    with mesh:
+        # compiled step reduces gradients across devices (i.e. the batch is
+        # really dp-sharded, not replicated) — check before executing: the
+        # step donates ts
+        txt = step.lower(ts, batch).compile().as_text()
+        assert "all-reduce" in txt
+        _, m = step(ts, batch)
+
+    np.testing.assert_allclose(np.asarray(m["loss"]), np.asarray(m1["loss"]),
+                               rtol=2e-4)
