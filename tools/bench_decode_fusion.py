@@ -14,10 +14,13 @@ Usage:  python tools/bench_decode_fusion.py <checkpoint.pkl> <model.json>
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(ckpt_path: str, model_json: str, T: int = 600, K: int = 10):
