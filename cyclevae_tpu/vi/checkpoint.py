@@ -43,6 +43,21 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def latest_checkpoint(checkpoint_dir: str) -> str:
+    """Path of the newest checkpoint: ``checkpoint-latest.pkl`` if the
+    trainer maintains one, else the highest-numbered ``checkpoint-<N>.pkl``."""
+    rolling = os.path.join(checkpoint_dir, "checkpoint-latest.pkl")
+    if os.path.exists(rolling):
+        return rolling
+    epochs = [int(f[len("checkpoint-"):-len(".pkl")])
+              for f in os.listdir(checkpoint_dir)
+              if f.startswith("checkpoint-") and f.endswith(".pkl")
+              and f[len("checkpoint-"):-len(".pkl")].isdigit()]
+    if not epochs:
+        raise FileNotFoundError(f"no checkpoints in {checkpoint_dir}")
+    return os.path.join(checkpoint_dir, f"checkpoint-{max(epochs)}.pkl")
+
+
 def restore_np_rng(state) -> np.random.Generator:
     rng = np.random.default_rng()
     rng.bit_generator.state = state

@@ -36,6 +36,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--clip-frames", type=int, default=24)
     p.add_argument("--hidden-units", type=int, default=896)
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; evaluate checkpoint-latest.pkl")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -70,10 +72,20 @@ def main():
 
     cfg = WaveRNNConfig(hidden_units=args.hidden_units)
     expdir = os.path.join(args.work, "exp", f"vocoder_{spk}_hu{cfg.hidden_units}")
-    res = run_train_vocoder(cfg, wavs, feats, expdir, epochs=args.epochs,
-                            batch_size=args.batch_size,
-                            clip_frames=args.clip_frames)
-    params = res["params"]
+    if args.eval_only:
+        import jax
+        import jax.numpy as jnp
+
+        from cyclevae_tpu.vi.checkpoint import latest_checkpoint, load_checkpoint
+        ckpt = load_checkpoint(latest_checkpoint(expdir))
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        final_nll = float("nan")
+    else:
+        res = run_train_vocoder(cfg, wavs, feats, expdir, epochs=args.epochs,
+                                batch_size=args.batch_size,
+                                clip_frames=args.clip_frames)
+        params = res["params"]
+        final_nll = res["history"][-1]["nll"]
 
     # --- copy-synthesis quality on held-out eval utterances ---------------
     eval_wavs = paths.wavs(spk, eval_set=True)[:args.n_eval]
@@ -84,7 +96,8 @@ def main():
     for i, wf in enumerate(eval_wavs):
         fs, x = read_wav(wf, cutoff=int(fcfg.highpass_cutoff))
         ana = _feat_from_wav(x, fs, sc.minf0, sc.maxf0, sc.pow_threshold, fcfg)
-        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i)
+        # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
+        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i) * 32768.0
         out_path = os.path.join(outdir, os.path.basename(wf))
         write_wav(out_path, fs, y.astype(np.float32))
         # re-analyze the vocoded waveform with the same bounds
@@ -110,7 +123,7 @@ def main():
     agg.update({f"{k}_std": float(np.std([m[k] for m in mets]))
                 for k in mets[0]})
     summary = {"speaker": spk, "epochs": args.epochs,
-               "final_nll": res["history"][-1]["nll"],
+               "final_nll": final_nll,
                "n_eval": len(mets), "copy_synthesis": agg}
     out_path = args.out or os.path.join(expdir, "vocoder_eval.json")
     with open(out_path, "w") as f:
