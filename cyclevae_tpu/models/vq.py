@@ -51,3 +51,31 @@ def vq_straight_through(encoding: jnp.ndarray, centroids: jnp.ndarray
     quantized = centroids[ids]
     st = encoding + jax.lax.stop_gradient(quantized - encoding)
     return st, ids
+
+
+def vq_straight_through_batch(
+        encoding: jnp.ndarray, centroids: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, T, D) straight-through quantization using the reference's L1
+    nearest-centroid assignment (nn_search_batch).  Returns
+    (st_quantized (B,T,D), hard_quantized (B,T,D), ids (B,T)) — the hard
+    values feed the codebook/commitment losses, the straight-through values
+    feed the decoder."""
+    ids = nn_search_batch(encoding, centroids)
+    quantized = centroids[ids]
+    st = encoding + jax.lax.stop_gradient(quantized - encoding)
+    return st, quantized, ids
+
+
+def codebook_perplexity(ids: jnp.ndarray, n_centroids: int,
+                        mask: jnp.ndarray = None) -> jnp.ndarray:
+    """exp(entropy) of the (optionally masked) codebook-usage histogram —
+    K means uniform usage, 1 means codebook collapse."""
+    onehot = jax.nn.one_hot(ids, n_centroids)
+    if mask is not None:
+        onehot = onehot * mask[..., None]
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        denom = ids.size
+    p = jnp.sum(onehot, axis=tuple(range(onehot.ndim - 1))) / denom
+    return jnp.exp(-jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0)))
