@@ -60,9 +60,14 @@ def _kernel(seed_ref, cond_gates_ref, emb_tab_ref, whh_ref, bhh_ref,
     logits = jnp.dot(f, w2_ref[:],
                      preferred_element_type=jnp.float32) + b2_ref[:]
 
-    # Gumbel-max categorical sampling with on-chip PRNG
+    # Gumbel-max categorical sampling with on-chip PRNG.  prng_random_bits
+    # yields SIGNED int32: mask to the low 23 bits (non-negative) before the
+    # float cast — an arithmetic shift would make half the uniforms negative,
+    # log(u) would go NaN and the argmax would be decided by the NaN pattern
+    # alone, ignoring the logits.  (Mosaic supports int32->f32 but not
+    # uint32->f32, hence the mask rather than a bitcast.)
     bits = pltpu.prng_random_bits((B, n_classes))
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # [0, 1)
+    u = (bits & 0x7fffff).astype(jnp.float32) * (1.0 / (1 << 23))  # [0, 1)
     gumbel = -jnp.log(-jnp.log(u + 1e-9) + 1e-9)
     temp = temp_ref[0]
     scores = jnp.where(temp > 0.0, logits / jnp.maximum(temp, 1e-6) + gumbel,

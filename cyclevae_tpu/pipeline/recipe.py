@@ -11,6 +11,9 @@ Stages:
   4  CycleVAE training
   5  GV calibration (cvgv)
   6  decode eval utterances to waveforms
+  i  posterior-inference stage (HMC over eval latents; no ref counterpart)
+  v  neural-vocoder training + copy-synthesis eval (surface from reference
+     FeatureDatasetNeuVoco; no trainer ships in the reference)
 """
 
 from __future__ import annotations
@@ -96,7 +99,9 @@ def _read_spk_conf(conf_dir: Optional[str], spk: str) -> SpeakerConf:
 
 def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                conf_dir: Optional[str] = None, n_jobs: int = 8,
-               decode_epoch: Optional[int] = None):
+               decode_epoch: Optional[int] = None,
+               vocoder_epochs: int = 300, vocoder_clip_frames: int = 96,
+               vocoder_n_eval: int = 5):
     from .. import enable_compilation_cache
     enable_compilation_cache()
     spk_src = exp.model.spk_src
@@ -301,6 +306,36 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                                   paths.h5s(spk_src, True)[:4], out_h5)
             logging.info("stage i done: %s", res)
 
+    if "v" in stages:
+        # neural-vocoder stage (the reference defines the data surface,
+        # FeatureDatasetNeuVoco dataset.py:495-563, but ships no trainer):
+        # train the target speaker's WaveRNN on its train wav/feature pairs,
+        # then score copy-synthesis on held-out eval utterances
+        import json as _json
+
+        from ..models.wavernn import WaveRNNConfig
+        from .vocoder_stage import eval_copy_synthesis, run_train_vocoder
+        vcfg = WaveRNNConfig()
+        sc = _read_spk_conf(conf_dir, spk_trg)
+        wavs = paths.wavs(spk_trg)[:paths.n_train]
+        h5s = paths.h5s(spk_trg)[:paths.n_train]
+        assert len(wavs) == len(h5s) and wavs, "run stages 0-1 first"
+        vexpdir = os.path.join(paths.work, "exp",
+                               f"vocoder_{spk_trg}_hu{vcfg.hidden_units}")
+        res = run_train_vocoder(vcfg, wavs, h5s, vexpdir,
+                                epochs=vocoder_epochs,
+                                clip_frames=vocoder_clip_frames)
+        agg = eval_copy_synthesis(res["params"], vcfg, exp,
+                                  paths.wavs(spk_trg, eval_set=True)[:vocoder_n_eval],
+                                  sc,
+                                  os.path.join(vexpdir, "wav_vocoded"))
+        with open(os.path.join(vexpdir, "vocoder_eval.json"), "w") as f:
+            _json.dump({"speaker": spk_trg, "epochs": vocoder_epochs,
+                        "final_nll": res["history"][-1]["nll"],
+                        "copy_synthesis": agg}, f, indent=2)
+        logging.info("stage v done: %s", {k: round(v, 3)
+                                          for k, v in agg.items()})
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cyclevae_tpu",
@@ -316,6 +351,9 @@ def main(argv=None):
     p.add_argument("--decode-epoch", type=int, default=None)
     p.add_argument("--resume", default=None,
                    help="checkpoint path to resume stage-4 training from")
+    p.add_argument("--vocoder-epochs", type=int, default=300)
+    p.add_argument("--vocoder-clip-frames", type=int, default=96)
+    p.add_argument("--vocoder-n-eval", type=int, default=5)
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
@@ -326,7 +364,10 @@ def main(argv=None):
     paths = RecipePaths(wav_root=args.wav_root, work=args.work,
                         n_train=args.n_train)
     run_stages(args.stage, exp, paths, conf_dir=args.conf_dir,
-               n_jobs=args.n_jobs, decode_epoch=args.decode_epoch)
+               n_jobs=args.n_jobs, decode_epoch=args.decode_epoch,
+               vocoder_epochs=args.vocoder_epochs,
+               vocoder_clip_frames=args.vocoder_clip_frames,
+               vocoder_n_eval=args.vocoder_n_eval)
 
 
 if __name__ == "__main__":

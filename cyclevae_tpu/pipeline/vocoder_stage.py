@@ -116,3 +116,47 @@ def synthesize_vocoder(params: Dict, cfg: WaveRNNConfig, feats: np.ndarray,
         idx = generate_xla(params, cfg, jax.random.PRNGKey(seed), cond[0],
                            temperature=temperature)
     return np.asarray(mulaw_decode(idx, cfg.n_classes))
+
+
+def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
+                        eval_wavs: Sequence[str], sc, outdir: str) -> Dict:
+    """Copy-synthesis quality on held-out utterances: analyze -> vocode the
+    natural features -> re-analyze, report DTW MCD vs the original mcep plus
+    voiced-F0 relative error and U/V agreement.  ``sc``: SpeakerConf bounds.
+    Returns the aggregate dict (means + stds)."""
+    from ..dsp import dtw as dtw_c
+    from ..utils.wavio import read_wav, write_wav
+    from .decode import _feat_from_wav
+
+    fcfg = exp.feature
+    os.makedirs(outdir, exist_ok=True)
+    mets = []
+    for i, wf in enumerate(eval_wavs):
+        fs, x = read_wav(wf, cutoff=int(fcfg.highpass_cutoff))
+        ana = _feat_from_wav(x, fs, sc.minf0, sc.maxf0, sc.pow_threshold,
+                             fcfg)
+        # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
+        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i) * 32768.0
+        write_wav(os.path.join(outdir, os.path.basename(wf)), fs,
+                  y.astype(np.float32))
+        re = _feat_from_wav(y.astype(np.float64), fs, sc.minf0, sc.maxf0,
+                            sc.pow_threshold, fcfg)
+        m = {}
+        a = ana["mcep"][ana["spcidx"]].astype(np.float64)
+        b = re["mcep"][re["spcidx"]].astype(np.float64)
+        _, _, m["mcdpow"], _ = dtw_c.dtw_org_to_trg(b, a)
+        _, _, m["mcd"], _ = dtw_c.dtw_org_to_trg(b[:, 1:], a[:, 1:])
+        n = min(len(ana["f0"]), len(re["f0"]))
+        v = (ana["f0"][:n] > 0) & (re["f0"][:n] > 0)
+        m["f0_rel_err_median"] = float(np.median(
+            np.abs(re["f0"][:n][v] - ana["f0"][:n][v]) / ana["f0"][:n][v])) \
+            if v.any() else float("nan")
+        m["uv_agree"] = float(np.mean((ana["f0"][:n] > 0)
+                                      == (re["f0"][:n] > 0)))
+        mets.append(m)
+        logging.info("vocoded %s: %s", os.path.basename(wf),
+                     {k: round(v, 4) for k, v in m.items()})
+    agg = {k: float(np.mean([m[k] for m in mets])) for k in mets[0]}
+    agg.update({f"{k}_std": float(np.std([m[k] for m in mets]))
+                for k in mets[0]})
+    return agg

@@ -89,6 +89,30 @@ def test_pallas_sampler_matches_xla_greedy(tiny_cfg):
     np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_ref))
 
 
+def test_pallas_sampler_respects_logits(tiny_cfg):
+    """Sampled mode must follow the logits: with one class given logit 10
+    (P ~ 0.988 among 0-logit others) nearly every draw picks it.  Guards the
+    signed-shift PRNG bug where half the Gumbel uniforms went negative,
+    log() produced NaNs and the argmax ignored the logits entirely."""
+    from jax.experimental.pallas import tpu as pltpu
+    from cyclevae_tpu.ops.pallas_wavernn import pallas_wavernn_generate
+
+    cfg = tiny_cfg
+    params = init_wavernn(jax.random.PRNGKey(3), cfg)
+    hot = 5
+    params = dict(params)
+    params["fc2"] = {"w": jnp.zeros_like(params["fc2"]["w"]),
+                     "b": jnp.zeros(cfg.n_classes).at[hot].set(10.0)}
+    rng = np.random.default_rng(2)
+    T = 200
+    cond = jnp.asarray(rng.normal(size=(T, cfg.cond_dim)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        idx = pallas_wavernn_generate(params, cfg, cond[None], seed=11,
+                                      temperature=1.0)[0]
+    frac_hot = float(np.mean(np.asarray(idx) == hot))
+    assert frac_hot > 0.9, frac_hot
+
+
 def test_fractional_hop_upsampler_no_drift():
     """110.25 samples/frame (22.05 kHz, 5 ms): upsampled length is exact
     (no ~300-sample shortfall over 1200 frames) and the conditioning row at

@@ -20,8 +20,6 @@ import logging
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -48,17 +46,11 @@ def main():
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
         datefmt="%m/%d/%Y %I:%M:%S")
 
-    import jax
-
-    from cyclevae_tpu.dsp import dtw as dtw_c
     from cyclevae_tpu.models.wavernn import WaveRNNConfig
-    from cyclevae_tpu.pipeline.decode import _feat_from_wav
     from cyclevae_tpu.pipeline.recipe import RecipePaths, _read_spk_conf
-    from cyclevae_tpu.pipeline.vocoder_stage import (run_train_vocoder,
-                                                     synthesize_vocoder)
+    from cyclevae_tpu.pipeline.vocoder_stage import (eval_copy_synthesis,
+                                                     run_train_vocoder)
     from cyclevae_tpu.utils.config import ExperimentConfig
-    from cyclevae_tpu.utils.hdf5 import read_hdf5
-    from cyclevae_tpu.utils.wavio import read_wav, write_wav
 
     spk = args.speaker
     paths = RecipePaths(wav_root=args.wav_root, work=args.work,
@@ -89,42 +81,11 @@ def main():
 
     # --- copy-synthesis quality on held-out eval utterances ---------------
     eval_wavs = paths.wavs(spk, eval_set=True)[:args.n_eval]
-    fcfg = exp.feature
-    mets = []
-    outdir = os.path.join(expdir, "wav_vocoded")
-    os.makedirs(outdir, exist_ok=True)
-    for i, wf in enumerate(eval_wavs):
-        fs, x = read_wav(wf, cutoff=int(fcfg.highpass_cutoff))
-        ana = _feat_from_wav(x, fs, sc.minf0, sc.maxf0, sc.pow_threshold, fcfg)
-        # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
-        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i) * 32768.0
-        out_path = os.path.join(outdir, os.path.basename(wf))
-        write_wav(out_path, fs, y.astype(np.float32))
-        # re-analyze the vocoded waveform with the same bounds
-        re = _feat_from_wav(y.astype(np.float64), fs, sc.minf0, sc.maxf0,
-                            sc.pow_threshold, fcfg)
-        m = {}
-        a = ana["mcep"][ana["spcidx"]].astype(np.float64)
-        b = re["mcep"][re["spcidx"]].astype(np.float64)
-        _, _, m["mcdpow"], _ = dtw_c.dtw_org_to_trg(b, a)
-        _, _, m["mcd"], _ = dtw_c.dtw_org_to_trg(b[:, 1:], a[:, 1:])
-        # voiced-F0 relative error over the overlapping frame range
-        n = min(len(ana["f0"]), len(re["f0"]))
-        v = (ana["f0"][:n] > 0) & (re["f0"][:n] > 0)
-        m["f0_rel_err_median"] = float(np.median(
-            np.abs(re["f0"][:n][v] - ana["f0"][:n][v]) / ana["f0"][:n][v])) \
-            if v.any() else float("nan")
-        m["uv_agree"] = float(np.mean((ana["f0"][:n] > 0) == (re["f0"][:n] > 0)))
-        mets.append(m)
-        logging.info("vocoded %s: %s", os.path.basename(wf),
-                     {k: round(v, 4) for k, v in m.items()})
-
-    agg = {k: float(np.mean([m[k] for m in mets])) for k in mets[0]}
-    agg.update({f"{k}_std": float(np.std([m[k] for m in mets]))
-                for k in mets[0]})
+    agg = eval_copy_synthesis(params, cfg, exp, eval_wavs, sc,
+                              os.path.join(expdir, "wav_vocoded"))
     summary = {"speaker": spk, "epochs": args.epochs,
                "final_nll": final_nll,
-               "n_eval": len(mets), "copy_synthesis": agg}
+               "n_eval": len(eval_wavs), "copy_synthesis": agg}
     out_path = args.out or os.path.join(expdir, "vocoder_eval.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
