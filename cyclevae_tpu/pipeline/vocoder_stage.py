@@ -119,7 +119,8 @@ def synthesize_vocoder(params: Dict, cfg: WaveRNNConfig, feats: np.ndarray,
 
 
 def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
-                        eval_wavs: Sequence[str], sc, outdir: str) -> Dict:
+                        eval_wavs: Sequence[str], sc, outdir: str,
+                        temperature: float = 1.0) -> Dict:
     """Copy-synthesis quality on held-out utterances: analyze -> vocode the
     natural features -> re-analyze, report DTW MCD vs the original mcep plus
     voiced-F0 relative error and U/V agreement.  ``sc``: SpeakerConf bounds.
@@ -136,7 +137,8 @@ def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
         ana = _feat_from_wav(x, fs, sc.minf0, sc.maxf0, sc.pow_threshold,
                              fcfg)
         # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
-        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i) * 32768.0
+        y = synthesize_vocoder(params, cfg, ana["feat"], seed=i,
+                                temperature=temperature) * 32768.0
         write_wav(os.path.join(outdir, os.path.basename(wf)), fs,
                   y.astype(np.float32))
         re = _feat_from_wav(y.astype(np.float64), fs, sc.minf0, sc.maxf0,

@@ -36,6 +36,7 @@ def main():
     p.add_argument("--hidden-units", type=int, default=896)
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; evaluate checkpoint-latest.pkl")
+    p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -82,10 +83,12 @@ def main():
     # --- copy-synthesis quality on held-out eval utterances ---------------
     eval_wavs = paths.wavs(spk, eval_set=True)[:args.n_eval]
     agg = eval_copy_synthesis(params, cfg, exp, eval_wavs, sc,
-                              os.path.join(expdir, "wav_vocoded"))
+                              os.path.join(expdir, "wav_vocoded"),
+                              temperature=args.temperature)
     summary = {"speaker": spk, "epochs": args.epochs,
                "final_nll": final_nll,
-               "n_eval": len(eval_wavs), "copy_synthesis": agg}
+               "n_eval": len(eval_wavs), "temperature": args.temperature,
+               "copy_synthesis": agg}
     out_path = args.out or os.path.join(expdir, "vocoder_eval.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)

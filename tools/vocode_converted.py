@@ -53,6 +53,8 @@ def main():
     p.add_argument("--n-eval", type=int, default=5)
     p.add_argument("--epoch", type=int, default=None,
                    help="CycleVAE epoch (default: best)")
+    p.add_argument("--temperature", type=float, default=0.8,
+                   help="sampling temperature (0.8 is the copy-synthesis sweet spot)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -153,7 +155,8 @@ def main():
                         cvmcep_gv].astype(np.float32)
 
         # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
-        y = synthesize_vocoder(vparams, vcfg, feat_cv, seed=i) * 32768.0
+        y = synthesize_vocoder(vparams, vcfg, feat_cv, seed=i,
+                               temperature=args.temperature) * 32768.0
         base = os.path.splitext(os.path.basename(ws))[0]
         write_wav(os.path.join(outdir, f"{base}_GVvoc.wav"), fs,
                   y.astype(np.float32))
@@ -196,6 +199,7 @@ def main():
     agg.update({f"{k}_std": float(np.std([m[k] for m in mets]))
                 for k in mets[0]})
     summary = {"model": model_id, "vocoder_exp": args.vocoder_exp,
+               "temperature": args.temperature,
                "n_eval": len(mets), "metrics": agg}
     out_path = args.out or os.path.join(expdir,
                                         f"vocode_converted_ep{epoch}.json")
