@@ -66,13 +66,20 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
                       feat_files: Sequence[str], expdir: str,
                       epochs: int = 10, batch_size: int = 8,
                       clip_frames: int = 24, lr: float = 2e-4,
-                      seed: int = 1) -> Dict:
+                      seed: int = 1, lr_decay: bool = False,
+                      ckpt_every: int = 25) -> Dict:
     os.makedirs(expdir, exist_ok=True)
     ds = NeuVocoDataset(wav_files, feat_files, cfg.hop)
     key = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
     params = init_wavernn(key, cfg)
-    opt = optax.adam(lr)
+    if lr_decay:
+        # cosine to lr/10 over the full run (steps = batches/epoch * epochs)
+        steps = max(1, (len(ds) + batch_size - 1) // batch_size) * epochs
+        sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(lr)
     opt_state = opt.init(params)
 
     @jax.jit
@@ -97,7 +104,12 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
                         "sec": time.time() - t0})
         logging.info("vocoder epoch %d: nll=%.3f (%.1fs)", epoch + 1,
                      history[-1]["nll"], history[-1]["sec"])
-        save_checkpoint(expdir, params, opt_state, key, np_rng, epoch + 1)
+        # rolling latest every epoch; numbered keepers are ~40 MB each, so
+        # thin them to every ckpt_every epochs (+ the final one)
+        save_checkpoint(expdir, params, opt_state, key, np_rng, epoch + 1,
+                        name="checkpoint-latest.pkl")
+        if (epoch + 1) % ckpt_every == 0 or epoch + 1 == epochs:
+            save_checkpoint(expdir, params, opt_state, key, np_rng, epoch + 1)
     with open(os.path.join(expdir, "history.json"), "w") as f:
         json.dump({"history": history}, f, indent=2)
     return {"params": params, "history": history}

@@ -33,8 +33,12 @@ def save_checkpoint(checkpoint_dir: str, params, opt_state, jax_key,
         "epoch": epoch,
     }
     path = os.path.join(checkpoint_dir, name or f"checkpoint-{epoch}.pkl")
-    with open(path, "wb") as f:
+    # atomic: rolling checkpoints (checkpoint-latest.pkl) are overwritten in
+    # place every epoch — a crash mid-write must not corrupt the resume point
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(ckpt, f)
+    os.replace(tmp, path)
     return path
 
 

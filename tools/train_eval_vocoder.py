@@ -37,6 +37,8 @@ def main():
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; evaluate checkpoint-latest.pkl")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--lr-decay", action="store_true",
+                   help="cosine-decay the lr to lr/10 over the run")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -76,7 +78,8 @@ def main():
     else:
         res = run_train_vocoder(cfg, wavs, feats, expdir, epochs=args.epochs,
                                 batch_size=args.batch_size,
-                                clip_frames=args.clip_frames)
+                                clip_frames=args.clip_frames,
+                                lr_decay=args.lr_decay)
         params = res["params"]
         final_nll = res["history"][-1]["nll"]
 
