@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import optax
 
 from ..models.gru_vae import GRURNNConfig, gru_rnn_apply, init_gru_rnn
-from ..models.vq import codebook_perplexity, vq_straight_through_batch
+from ..models.vq import (codebook_perplexity, nn_search_batch,
+                         vq_straight_through_batch, weighted_ctr)
 from ..utils.config import ExperimentConfig
 from ..utils.hdf5 import read_hdf5
 from ..vi.elbo import mcd_l1
@@ -61,8 +62,13 @@ def make_vq_cfgs(exp: ExperimentConfig):
 
 def make_vq_step(enc_cfg: GRURNNConfig, dec_cfg: GRURNNConfig,
                  optimizer, stdim: int, n_centroids: int,
-                 beta: float = 0.25):
-    """Jitted VQ-CycleVAE step over whole (padded, masked) utterances."""
+                 beta: float = 0.25, assignment: str = "st"):
+    """Jitted VQ-CycleVAE step over whole (padded, masked) utterances.
+
+    ``assignment``: "st" = hard nearest-centroid with the straight-through
+    estimator; "soft" = the reference's exp(-L1) posterior-weighted centroids
+    (weighted_ctr, gru_vae.py:178-193) — fully differentiable, the weighted
+    distance is the codebook-fit penalty."""
     lat_dim = enc_cfg.out_dim
 
     def loss_fn(params, rng, batch):
@@ -75,12 +81,22 @@ def make_vq_step(enc_cfg: GRURNNConfig, dec_cfg: GRURNNConfig,
         def masked_mcd(x, y):
             return jnp.mean(mcd_l1(x, y, mask))
 
-        def vq_terms(lat):
+        def vq_terms_st(lat):
             st, hard, ids = vq_straight_through_batch(lat, params["centroids"])
             sq = jnp.sum((jax.lax.stop_gradient(lat) - hard) ** 2, -1)
             cm = jnp.sum((lat - jax.lax.stop_gradient(hard)) ** 2, -1)
             vq_loss = jnp.sum((sq + beta * cm) * mask) / denom
             return st, ids, vq_loss
+
+        def vq_terms_soft(lat):
+            # weighted_ctr means over ALL frames (incl. padding) — exercises
+            # the reference helper verbatim; smoke-level trainer tolerance
+            wc, wd = jax.vmap(weighted_ctr, in_axes=(0, None))(
+                lat, params["centroids"])           # (B,T,D), (B,)
+            ids = nn_search_batch(lat, params["centroids"])  # logged only
+            return wc, ids, beta * jnp.mean(wd)
+
+        vq_terms = vq_terms_soft if assignment == "soft" else vq_terms_st
 
         lat, _, _ = gru_rnn_apply(params["encoder"], enc_cfg, feats,
                                   jnp.zeros((B, lat_dim)), rng=k1,
@@ -144,7 +160,7 @@ def _collate_vq(utts, seg_len: int) -> Dict:
 def run_train_vq(exp: ExperimentConfig, src_files: Sequence[str],
                  trg_files: Sequence[str], spk_src: str, stats_jnt: str,
                  expdir: str, n_centroids: int = 64,
-                 beta: float = 0.25) -> Dict:
+                 beta: float = 0.25, assignment: str = "st") -> Dict:
     """Train the VQ-CycleVAE; returns history incl. codebook perplexity."""
     os.makedirs(expdir, exist_ok=True)
     enc_cfg, dec_cfg = make_vq_cfgs(exp)
@@ -187,7 +203,8 @@ def run_train_vq(exp: ExperimentConfig, src_files: Sequence[str],
     ds = SingleVAEDataset(list(src_files) + list(trg_files),
                           list(trg_files) + list(src_files), spk_src,
                           n_spk=m.n_spk)
-    step = make_vq_step(enc_cfg, dec_cfg, opt, m.stdim, n_centroids, beta)
+    step = make_vq_step(enc_cfg, dec_cfg, opt, m.stdim, n_centroids,
+                        beta, assignment)
 
     history: List[Dict] = []
     bsu = tcfg.batch_size_utt

@@ -62,6 +62,23 @@ def vq_corpus(tmp_path_factory):
     return {"files": files, "stats": stats}
 
 
+def test_vq_cyclevae_soft_assignment_train(vq_corpus, tmp_path):
+    """The soft (weighted_ctr) assignment path is fully differentiable and
+    also trains: loss and recon MCD decrease."""
+    from cyclevae_tpu.pipeline.train_stage_vq import run_train_vq
+    exp = ExperimentConfig(
+        model=ModelConfig(hidden_units=16, lat_dim=6, do_prob=0.0),
+        train=TrainConfig(batch_size=40, batch_size_utt=4, epoch_count=3,
+                          lr=5e-3))
+    res = run_train_vq(exp, vq_corpus["files"]["SPK_S"],
+                       vq_corpus["files"]["SPK_T"], "SPK_S",
+                       vq_corpus["stats"], str(tmp_path / "exp_vq_soft"),
+                       n_centroids=16, assignment="soft")
+    h = res["history"]
+    assert h[-1]["train"]["loss"] < h[0]["train"]["loss"]
+    assert h[-1]["train"]["mcd_rec"] < h[0]["train"]["mcd_rec"]
+
+
 def test_vq_cyclevae_smoke_train(vq_corpus, tmp_path):
     """The cyclic VQ objective decreases and the codebook stays alive
     (perplexity well above collapse)."""
