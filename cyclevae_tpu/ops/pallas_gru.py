@@ -194,6 +194,129 @@ def pallas_gru_ar_train(
             jnp.swapaxes(hseq_t, 0, 1))
 
 
+def _kernel_bwd(dtrj_ref, hprev_ref, n_ref, z_ref, r_ref, ghn_ref, mask_ref,
+                wout_ref, whh_ref, wy_ref, dhT_ref, dyT_ref,
+                dgx_ref, dgh_ref, dytot_ref, dh0_ref, dy0_ref, dh_s, dy_s,
+                *, hidden: int, T: int):
+    """Reverse-time cotangent scan of the AR-GRU (see ops/gru_ar_vjp._bwd):
+    only the two transposed-recurrence matmuls are sequential; weights stay
+    VMEM-resident across the whole reversed grid (the XLA scan re-streams
+    the (3H, H) recurrence weights from HBM every step)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[:] = dhT_ref[:]
+        dy_s[:] = dyT_ref[:]
+
+    dy_tot = dtrj_ref[0] + dy_s[:]
+    do = jnp.dot(dy_tot, wout_ref[:], preferred_element_type=jnp.float32)
+    dh_tot = dh_s[:] + do * mask_ref[0]
+    h_prev = hprev_ref[0]
+    n = n_ref[0]
+    z = z_ref[0]
+    r = r_ref[0]
+    ghn = ghn_ref[0]
+    dz = dh_tot * (h_prev - n)
+    dn = dh_tot * (1.0 - z)
+    dgn = dn * (1.0 - n * n)
+    dr = dgn * ghn
+    dghn = dgn * r
+    dgr = dr * r * (1.0 - r)
+    dgz = dz * z * (1.0 - z)
+    dgx_t = jnp.concatenate([dgr, dgz, dgn], axis=-1)
+    dgh_t = jnp.concatenate([dgr, dgz, dghn], axis=-1)
+    dh_prev = dh_tot * z + jnp.dot(dgh_t, whh_ref[:],
+                                   preferred_element_type=jnp.float32)
+    dy_prev = jnp.dot(dgx_t, wy_ref[:], preferred_element_type=jnp.float32)
+
+    dgx_ref[0] = dgx_t
+    dgh_ref[0] = dgh_t
+    dytot_ref[0] = dy_tot
+    dh_s[:] = dh_prev
+    dy_s[:] = dy_prev
+
+    @pl.when(t == T - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+        dy0_ref[:] = dy_prev
+
+
+def pallas_gru_ar_bwd(
+    wout: jnp.ndarray,      # (out, H) f32
+    whh: jnp.ndarray,       # (3H, H) f32
+    wy: jnp.ndarray,        # (3H, out) f32
+    d_trj: jnp.ndarray,     # (B, T, out) output cotangents
+    h_prev: jnp.ndarray,    # (B, T, H)
+    n: jnp.ndarray, z: jnp.ndarray, r: jnp.ndarray,  # (B, T, H) gates
+    ghn: jnp.ndarray,       # (B, T, H) hidden-side candidate pre-activation
+    out_mask: jnp.ndarray,  # (B, T, H)
+    d_hT: jnp.ndarray,      # (B, H)
+    d_yT: jnp.ndarray,      # (B, out)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused reverse scan.  Returns (dgx (B,T,3H), dgh (B,T,3H),
+    dy_tot (B,T,out), dh0 (B,H), dy0 (B,out))."""
+    B, T, H = h_prev.shape
+    out_dim = d_trj.shape[-1]
+    threeH = 3 * H
+
+    rev = lambda t: (T - 1 - t, 0, 0)
+    fixed = lambda t: (0, 0)
+
+    def tblock(d):
+        return pl.BlockSpec((1, B, d), rev, memory_space=pltpu.VMEM)
+
+    def wblock(a, b):
+        return pl.BlockSpec((a, b), fixed, memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            tblock(out_dim),                     # d_trj
+            tblock(H), tblock(H), tblock(H), tblock(H), tblock(H),  # h_prev,n,z,r,ghn
+            tblock(H),                           # out_mask
+            wblock(out_dim, H), wblock(threeH, H), wblock(threeH, out_dim),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),       # d_hT
+            pl.BlockSpec((B, out_dim), fixed, memory_space=pltpu.VMEM),  # d_yT
+        ],
+        out_specs=[
+            tblock(threeH),                      # dgx
+            tblock(threeH),                      # dgh
+            tblock(out_dim),                     # dy_tot
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),       # dh0
+            pl.BlockSpec((B, out_dim), fixed, memory_space=pltpu.VMEM),  # dy0
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, out_dim), jnp.float32),
+        ],
+    )
+    tm = lambda a: jnp.swapaxes(a, 0, 1).astype(jnp.float32)
+    kernel = functools.partial(_kernel_bwd, hidden=H, T=T)
+    dgx_t, dgh_t, dytot_t, dh0, dy0 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, out_dim), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * (out_dim * H + threeH * H + threeH * out_dim),
+            bytes_accessed=T * B * (7 * H + out_dim + 2 * threeH + out_dim) * 4,
+            transcendentals=0,
+        ),
+    )(tm(d_trj), tm(h_prev), tm(n), tm(z), tm(r), tm(ghn), tm(out_mask),
+      wout.astype(jnp.float32), whh.astype(jnp.float32),
+      wy.astype(jnp.float32), d_hT.astype(jnp.float32),
+      d_yT.astype(jnp.float32))
+    sw = lambda a: jnp.swapaxes(a, 0, 1)
+    return sw(dgx_t), sw(dgh_t), sw(dytot_t), dh0, dy0
+
+
 def pallas_gru_ar(
     gru_layer: Dict,
     out_proj: Dict,

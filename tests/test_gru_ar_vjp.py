@@ -73,6 +73,34 @@ def test_gradients_match_autodiff():
                                    atol=2e-4 * scale, rtol=2e-4)
 
 
+def test_pallas_bwd_kernel_matches_xla_reverse_scan():
+    """The fused Pallas reverse-scan backward (interpret mode) produces the
+    same gradients as the XLA lax.scan backward."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    gru, out, conv_seq, y0, h0, mask = _setup(B=2, T=9, hidden=16, seed=5)
+    conv_dim = conv_seq.shape[-1]
+    gx = precompute_input_gates(gru, conv_seq)
+
+    def loss(args, impl):
+        wy, whh, bhh, w, b, gx_, y0_, h0_ = args
+        trj, y_T, h_T = gru_ar_fused(wy, whh, bhh, w, b, gx_, y0_, h0_,
+                                     mask, impl)
+        return (jnp.sum(trj ** 2) + jnp.sum(jnp.sin(y_T))
+                + jnp.sum(h_T ** 2))
+
+    args = (gru["w_ih"][:, conv_dim:], gru["w_hh"], gru["b_hh"],
+            out["w"], out["b"], gx, y0, h0)
+    g_ref = jax.grad(lambda a: loss(a, "xla"))(args)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(lambda a: loss(a, "pallas"))(args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, rtol=2e-4)
+
+
 def test_gradients_match_under_jit_and_longer_T():
     gru, out, conv_seq, y0, h0, mask = _setup(B=2, T=40, hidden=24, seed=3)
 

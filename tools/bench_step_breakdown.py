@@ -61,31 +61,44 @@ def main(B: int = 64, K: int = 10):
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(1)
 
-    def timed(fn, *args, sync):
-        out = fn(*args)            # compile + warmup
-        sync(out)
+    def timed(fn):
+        """fn: carry scalar -> new scalar.  Each iteration's input depends on
+        the previous output — identical-argument repeat calls can be deduped
+        by the remote attachment, which reads as ~0 time."""
+        c = fn(jnp.zeros(()))      # compile + warmup
+        c.block_until_ready()
         t0 = time.time()
         for _ in range(K):
-            out = fn(*args)
-        sync(out)
+            c = fn(c)
+        c.block_until_ready()
         return max((time.time() - t0 - rtt) / K, 1e-9)
 
+    def chain_seg(c):
+        return {**seg, "feats": seg["feats"] + c * 0.0}
+
     # 1. forward loss only (one segment)
-    fwd = jax.jit(lambda p, k, s, st: segment_loss(p, cfg, k, s, st)[0])
-    t_fwd = timed(fwd, params, key, seg, state,
-                  sync=lambda o: o.block_until_ready())
+    fwd = jax.jit(lambda c: segment_loss(params, cfg, key, chain_seg(c),
+                                         state)[0] * 0.0)
+    t_fwd = timed(fwd)
 
     # 2. forward + backward (one segment)
-    vag = jax.jit(jax.value_and_grad(
-        lambda p, k, s, st: segment_loss(p, cfg, k, s, st)[0]))
-    t_vag = timed(vag, params, key, seg, state,
-                  sync=lambda o: o[0].block_until_ready())
+    def vag_loss(c):
+        val, g = jax.value_and_grad(
+            lambda p: segment_loss(p, cfg, key, chain_seg(c), state)[0]
+        )(params)
+        return (val + jnp.sum(g.encoder["out"]["b"])) * 0.0
+    vag = jax.jit(vag_loss)
+    t_vag = timed(vag)
 
     # 3. Adam update alone (on the gradient pytree)
-    _, grads = vag(params, key, seg, state)
-    upd = jax.jit(lambda g, os_, p: opt.update(g, os_, p))
-    t_adam = timed(upd, grads, opt_state, params,
-                   sync=lambda o: jax.block_until_ready(o))
+    _, grads = jax.value_and_grad(
+        lambda p: segment_loss(p, cfg, key, seg, state)[0])(params)
+
+    def adam_only(c):
+        g = jax.tree_util.tree_map(lambda x: x + c * 0.0, grads)
+        upds, _ = opt.update(g, opt_state, params)
+        return jnp.sum(upds.encoder["out"]["b"]) * 0.0
+    t_adam = timed(jax.jit(adam_only))
 
     # 4. full scanned train step (n_segs segments + per-segment Adam)
     step = make_train_step(cfg, opt, S, n_segs)
