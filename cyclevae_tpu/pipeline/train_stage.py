@@ -43,7 +43,8 @@ def model_config(exp: ExperimentConfig) -> CycleVAEConfig:
         hidden_units=m.hidden_units, hidden_layers=m.hidden_layers,
         kernel_size=m.kernel_size, dilation_size=m.dilation_size,
         n_cyc=m.n_cyc, do_prob=m.do_prob, stdim=m.stdim,
-        posterior=m.posterior)
+        posterior=m.posterior, use_pallas=m.use_pallas,
+        compute_dtype=m.compute_dtype)
 
 
 def _pad_batch_utts(batch: Dict, bsu: int) -> Dict:

@@ -69,7 +69,9 @@ def run_train_mult(exp: ExperimentConfig, feat_files: Sequence[str],
         in_dim=m.in_dim, out_dim=m.out_dim, lat_dim=m.lat_dim, n_spk=n_spk,
         hidden_units=m.hidden_units, hidden_layers=m.hidden_layers,
         kernel_size=m.kernel_size, dilation_size=m.dilation_size,
-        n_cyc=m.n_cyc, do_prob=m.do_prob, stdim=m.stdim)
+        n_cyc=m.n_cyc, do_prob=m.do_prob, stdim=m.stdim,
+        posterior=m.posterior, use_pallas=m.use_pallas,
+        compute_dtype=m.compute_dtype)
     tcfg = exp.train
     save_config(exp, os.path.join(expdir, "model.json"))
 

@@ -51,6 +51,11 @@ class ModelConfig:
     posterior: str = "gauss"    # "gauss" | "laplace" (ref gru_vae.py:101-144)
     spk_src: str = "VCC2SF1"
     spk_trg: str = "VCC2TF1"
+    # perf knobs (numerics-affecting; defaults keep reference-f32 parity):
+    # use_pallas = fused Pallas AR-GRU fwd+bwd kernels, compute_dtype =
+    # "bfloat16" runs matmuls in bf16 with f32 master weights
+    use_pallas: bool = False
+    compute_dtype: str = "float32"
 
 
 @dataclass
