@@ -118,6 +118,7 @@ def main():
     if on_tpu:
         fast = CycleVAEConfig(use_pallas=True, compute_dtype="bfloat16")
         variants += [
+            ("bf16_pallas_bsu16", fast, 16),
             ("f32_scan_bsu64", base_cfg, 64),
             ("bf16_scan_bsu64",
              CycleVAEConfig(compute_dtype="bfloat16"), 64),
