@@ -60,7 +60,33 @@ def measure_peak_bf16(jax, jnp) -> float:
     return K * 2.0 * n ** 3 / dt
 
 
+def _device_backend_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe device-backend init in a SUBPROCESS with a bounded wait: a dead
+    TPU tunnel makes jax.devices() hang forever in-process (seen when the
+    relay process died mid-session), which would hang the whole bench."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    import os
+    if os.environ.get("CYCLEVAE_PLATFORM", "") != "cpu" \
+            and not _device_backend_reachable():
+        # unreachable accelerator: fall back to CPU so the bench still emits
+        # its JSON line instead of hanging until an external timeout
+        import sys
+        os.environ["CYCLEVAE_PLATFORM"] = "cpu"
+        print("bench: device backend unreachable, benching on CPU",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
