@@ -130,6 +130,28 @@ def synthesize_vocoder(params: Dict, cfg: WaveRNNConfig, feats: np.ndarray,
     return np.asarray(mulaw_decode(idx, cfg.n_classes))
 
 
+def converted_conditioning(src_feat: np.ndarray, cvmcep: np.ndarray,
+                           cvf0: np.ndarray, shiftms: float) -> np.ndarray:
+    """Assemble neural-vocoder conditioning for a CONVERTED utterance in the
+    training feature layout (pipeline/decode._feat_from_wav:49-50):
+    [uv, log cont-F0-lpf, codeap, mcep] with the converted F0 trajectory and
+    converted mceps in place of the naturals; codeap stays the source's.
+
+    src_feat: (T, feat_dim) natural source features (layout above).
+    cvmcep:   (T, mcep_dim+1) converted (typically GV-postfiltered) mceps.
+    cvf0:     (T,) converted F0 in Hz (0 = unvoiced).
+    """
+    from ..utils.wavio import low_pass_filter
+    from .features import convert_continuos_f0
+
+    uv, contf0 = convert_continuos_f0(np.array(cvf0))
+    cont_lpf = low_pass_filter(contf0, int(1.0 / (shiftms * 0.001)),
+                               cutoff=20)
+    n_codeap = src_feat.shape[1] - 2 - cvmcep.shape[1]
+    return np.c_[uv[:, None], np.log(cont_lpf)[:, None],
+                 src_feat[:, 2:2 + n_codeap], cvmcep].astype(np.float32)
+
+
 def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
                         eval_wavs: Sequence[str], sc, outdir: str,
                         temperature: float = 1.0) -> Dict:

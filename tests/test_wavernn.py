@@ -113,6 +113,32 @@ def test_pallas_sampler_respects_logits(tiny_cfg):
     assert frac_hot > 0.9, frac_hot
 
 
+def test_converted_conditioning_layout():
+    """Converted-utterance vocoder conditioning matches the training layout
+    [uv, log cont-F0-lpf, codeap, mcep]: uv binary from the converted F0,
+    codeap passed through from the source, mcep block = the converted mceps,
+    and the lf0 lane finite everywhere (voiced AND unvoiced frames)."""
+    from cyclevae_tpu.pipeline.vocoder_stage import converted_conditioning
+
+    rng = np.random.default_rng(0)
+    T, n_codeap, mcep_dim1 = 60, 2, 50
+    src_feat = rng.normal(size=(T, 2 + n_codeap + mcep_dim1)).astype(
+        np.float32)
+    cvmcep = rng.normal(size=(T, mcep_dim1)).astype(np.float32)
+    cvf0 = np.zeros(T)
+    cvf0[10:40] = 180.0 + 20 * np.sin(np.arange(30) / 5.0)  # voiced island
+    feat = converted_conditioning(src_feat, cvmcep, cvf0, shiftms=5.0)
+    assert feat.shape == (T, 2 + n_codeap + mcep_dim1)
+    np.testing.assert_array_equal(feat[:, 0], (cvf0 > 0).astype(np.float32))
+    assert np.isfinite(feat[:, 1]).all()
+    # voiced frames carry ~log(F0); the LPF smooths, so allow tolerance
+    mid = slice(20, 30)
+    np.testing.assert_allclose(feat[mid, 1], np.log(cvf0[mid]), atol=0.2)
+    np.testing.assert_array_equal(feat[:, 2:2 + n_codeap],
+                                  src_feat[:, 2:2 + n_codeap])
+    np.testing.assert_array_equal(feat[:, 2 + n_codeap:], cvmcep)
+
+
 def test_fractional_hop_upsampler_no_drift():
     """110.25 samples/frame (22.05 kHz, 5 ms): upsampled length is exact
     (no ~300-sample shortfall over 1200 frames) and the conditioning row at

@@ -74,14 +74,14 @@ def main():
                                               analyze_pair,
                                               device_decode_pair,
                                               gv_postfilter)
-    from cyclevae_tpu.pipeline.features import (convert_continuos_f0,
-                                                convert_f0, mod_pow)
+    from cyclevae_tpu.pipeline.features import convert_f0, mod_pow
     from cyclevae_tpu.pipeline.recipe import RecipePaths, _read_spk_conf
     from cyclevae_tpu.pipeline.train_stage import model_config
-    from cyclevae_tpu.pipeline.vocoder_stage import synthesize_vocoder
+    from cyclevae_tpu.pipeline.vocoder_stage import (converted_conditioning,
+                                                     synthesize_vocoder)
     from cyclevae_tpu.utils.config import load_config
     from cyclevae_tpu.utils.hdf5 import read_hdf5
-    from cyclevae_tpu.utils.wavio import low_pass_filter, write_wav
+    from cyclevae_tpu.utils.wavio import write_wav
     from cyclevae_tpu.vi.checkpoint import latest_checkpoint, load_checkpoint
     from cyclevae_tpu.vi.train import CycleVAEParams
 
@@ -145,14 +145,8 @@ def main():
                           f0stats["lf0_std_trg"])
 
         # converted conditioning in the training layout (decode.py:49-50)
-        uv, contf0 = convert_continuos_f0(np.array(cvf0))
-        cont_lpf = low_pass_filter(contf0,
-                                   int(1.0 / (fcfg.shiftms * 0.001)),
-                                   cutoff=20)
-        n_codeap = src["feat"].shape[1] - 2 - cvmcep_gv.shape[1]
-        feat_cv = np.c_[uv[:, None], np.log(cont_lpf)[:, None],
-                        src["feat"][:, 2:2 + n_codeap],
-                        cvmcep_gv].astype(np.float32)
+        feat_cv = converted_conditioning(src["feat"], cvmcep_gv, cvf0,
+                                         fcfg.shiftms)
 
         # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
         y = synthesize_vocoder(vparams, vcfg, feat_cv, seed=i,
