@@ -147,16 +147,30 @@ def test_config_json_roundtrip(tmp_path):
     from cyclevae_tpu.utils.config import (
         ExperimentConfig, ModelConfig, TrainConfig, load_config, save_config)
     exp = ExperimentConfig(
-        model=ModelConfig(hidden_units=77, spk_src="X", spk_trg="Y"),
+        model=ModelConfig(hidden_units=77, spk_src="X", spk_trg="Y",
+                          use_pallas=True, compute_dtype="bfloat16"),
         train=TrainConfig(lr=3e-4, epoch_count=9, eval_interval=3))
     p = str(tmp_path / "model.json")
     save_config(exp, p)
     back = load_config(p)
     assert back.model.hidden_units == 77
     assert back.model.spk_src == "X"
+    assert back.model.use_pallas and back.model.compute_dtype == "bfloat16"
     assert back.train.lr == 3e-4
     assert back.train.eval_interval == 3
     assert back.name() == exp.name()
+    # a pre-perf-knob config (missing keys) loads with parity defaults
+    import json
+    d = json.load(open(p))
+    del d["model"]["use_pallas"], d["model"]["compute_dtype"]
+    json.dump(d, open(p, "w"))
+    old = load_config(p)
+    assert not old.model.use_pallas
+    assert old.model.compute_dtype == "float32"
+    # the trainers honor the knobs end-to-end in the model config
+    from cyclevae_tpu.pipeline.train_stage import model_config
+    assert model_config(back).use_pallas
+    assert model_config(back).compute_dtype == "bfloat16"
 
 
 def test_read_spk_conf_files(tmp_path):
