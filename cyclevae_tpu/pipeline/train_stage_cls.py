@@ -148,3 +148,54 @@ def run_train_cls(exp: ExperimentConfig, feat_files: Sequence[str],
     with open(os.path.join(expdir, "history_cls.json"), "w") as f:
         json.dump({"history": history}, f, indent=2)
     return {"history": history, "params": params, "cfg": cfg}
+
+
+def main(argv=None):
+    """CLI: train the per-frame speaker classifier over N speakers on a
+    prepared workspace (per-speaker stages 1-3 must have run)."""
+    import argparse
+
+    from .. import enable_compilation_cache
+    from ..utils.config import ExperimentConfig, load_config
+    from .recipe import RecipePaths
+    from .stats import calc_stats_joint
+
+    p = argparse.ArgumentParser(prog="cyclevae_tpu.train_stage_cls")
+    p.add_argument("--work", required=True)
+    p.add_argument("--src-speakers", nargs="+", required=True)
+    p.add_argument("--trg-speakers", nargs="+", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--n-train", type=int, default=40)
+    p.add_argument("--wav-root",
+                   default="/root/reference/egs/one-to-one/wav")
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %I:%M:%S")
+    exp = load_config(args.config) if args.config else ExperimentConfig()
+    if args.epochs is not None:
+        exp.train.epoch_count = args.epochs
+    paths = RecipePaths(wav_root=args.wav_root, work=args.work,
+                        n_train=args.n_train)
+    all_spk = list(args.src_speakers) + list(args.trg_speakers)
+    train_files = []
+    for spk in all_spk:
+        train_files += paths.h5s(spk)[:paths.n_train]
+    stats_jnt = os.path.join(paths.work, "stats", "stats_jnt_cls.h5")
+    calc_stats_joint(train_files, [], stats_jnt)
+    expdir = os.path.join(paths.work, "exp", exp.name() + "_cls")
+    res = run_train_cls(
+        exp, train_files,
+        [paths.h5s(s, True) for s in args.src_speakers],
+        [paths.h5s(s, True) for s in args.trg_speakers],
+        args.src_speakers, args.trg_speakers, stats_jnt, expdir)
+    logging.info("cls training done: eval_acc=%.3f",
+                 res["history"][-1]["eval_acc"])
+
+
+if __name__ == "__main__":
+    main()

@@ -232,3 +232,50 @@ def run_train_vq(exp: ExperimentConfig, src_files: Sequence[str],
         json.dump({"history": history}, f, indent=2)
     return {"history": history, "params": params,
             "enc_cfg": enc_cfg, "dec_cfg": dec_cfg}
+
+
+def main(argv=None):
+    """CLI: train the VQ-CycleVAE variant on a prepared workspace
+    (stages 1-3 must have run; same split semantics as the recipe)."""
+    import argparse
+
+    from .. import enable_compilation_cache
+    from ..utils.config import ExperimentConfig, load_config
+    from .recipe import RecipePaths
+
+    p = argparse.ArgumentParser(prog="cyclevae_tpu.train_stage_vq")
+    p.add_argument("--work", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--n-train", type=int, default=40)
+    p.add_argument("--n-centroids", type=int, default=64)
+    p.add_argument("--beta", type=float, default=0.25)
+    p.add_argument("--assignment", choices=("st", "soft"), default="st")
+    p.add_argument("--wav-root",
+                   default="/root/reference/egs/one-to-one/wav")
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %I:%M:%S")
+    exp = load_config(args.config) if args.config else ExperimentConfig()
+    if args.epochs is not None:
+        exp.train.epoch_count = args.epochs
+    paths = RecipePaths(wav_root=args.wav_root, work=args.work,
+                        n_train=args.n_train)
+    # parallel-sentence head halves of both speakers (recipe train_lists)
+    src = paths.h5s(exp.model.spk_src)[:paths.n_train]
+    trg = paths.h5s(exp.model.spk_trg)[:paths.n_train]
+    n = min(len(src), len(trg))
+    expdir = os.path.join(paths.work, "exp", exp.name() + "_vq")
+    res = run_train_vq(exp, src[:n], trg[:n], exp.model.spk_src,
+                       paths.stats_jnt(), expdir,
+                       n_centroids=args.n_centroids, beta=args.beta,
+                       assignment=args.assignment)
+    logging.info("vq training done: %s", res["history"][-1])
+
+
+if __name__ == "__main__":
+    main()
