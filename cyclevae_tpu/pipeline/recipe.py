@@ -101,7 +101,7 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                conf_dir: Optional[str] = None, n_jobs: int = 8,
                decode_epoch: Optional[int] = None,
                vocoder_epochs: int = 300, vocoder_clip_frames: int = 96,
-               vocoder_n_eval: int = 5):
+               vocoder_n_eval: int = 5, vocoder_hidden_units: int = 896):
     from .. import enable_compilation_cache
     enable_compilation_cache()
     spk_src = exp.model.spk_src
@@ -315,7 +315,7 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
 
         from ..models.wavernn import WaveRNNConfig
         from .vocoder_stage import eval_copy_synthesis, run_train_vocoder
-        vcfg = WaveRNNConfig()
+        vcfg = WaveRNNConfig(hidden_units=vocoder_hidden_units)
         sc = _read_spk_conf(conf_dir, spk_trg)
         wavs = paths.wavs(spk_trg)[:paths.n_train]
         h5s = paths.h5s(spk_trg)[:paths.n_train]
@@ -354,6 +354,7 @@ def main(argv=None):
     p.add_argument("--vocoder-epochs", type=int, default=300)
     p.add_argument("--vocoder-clip-frames", type=int, default=96)
     p.add_argument("--vocoder-n-eval", type=int, default=5)
+    p.add_argument("--vocoder-hidden-units", type=int, default=896)
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
@@ -367,7 +368,8 @@ def main(argv=None):
                n_jobs=args.n_jobs, decode_epoch=args.decode_epoch,
                vocoder_epochs=args.vocoder_epochs,
                vocoder_clip_frames=args.vocoder_clip_frames,
-               vocoder_n_eval=args.vocoder_n_eval)
+               vocoder_n_eval=args.vocoder_n_eval,
+               vocoder_hidden_units=args.vocoder_hidden_units)
 
 
 if __name__ == "__main__":

@@ -192,6 +192,8 @@ def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
         mets.append(m)
         logging.info("vocoded %s: %s", os.path.basename(wf),
                      {k: round(v, 4) for k, v in m.items()})
+    if not mets:  # eval skipped (n_eval=0): train-only stage run
+        return {}
     agg = {k: float(np.mean([m[k] for m in mets])) for k in mets[0]}
     agg.update({f"{k}_std": float(np.std([m[k] for m in mets]))
                 for k in mets[0]})

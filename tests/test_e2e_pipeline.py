@@ -85,6 +85,15 @@ def test_full_recipe(corpus, tmp_path):
     # 8 variants per eval utterance, 1 eval utterance per speaker pair
     assert len([w for w in wavs if w.endswith(".wav")]) == 8
 
+    # stage v (neural-vocoder training), train-only: AR generation is too
+    # slow for CPU CI, so n_eval=0 exercises the stage wiring + artifacts
+    run_stages("v", exp, paths, vocoder_epochs=1, vocoder_clip_frames=8,
+               vocoder_n_eval=0, vocoder_hidden_units=32)
+    vexpdir = os.path.join(paths.work, "exp", "vocoder_SPKB_hu32")
+    vh = json.load(open(os.path.join(vexpdir, "history.json")))
+    assert np.isfinite(vh["history"][-1]["nll"])
+    assert os.path.exists(os.path.join(vexpdir, "checkpoint-latest.pkl"))
+
 
 def test_resume_reproduces_trajectory(corpus, tmp_path):
     """Resume from the epoch-1 checkpoint must reproduce epoch 2 exactly
