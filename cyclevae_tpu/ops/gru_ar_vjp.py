@@ -10,10 +10,12 @@ kernel had no gradient.  This module closes that: ``gru_ar_fused`` is a
     frame) and saves the hidden-state sequence ``h_seq`` as the residual;
   * backward recomputes all gate activations IN BULK (the saved h/y sequences
     make ``gx_t``/``gh_t`` data-parallel over time — two big MXU matmuls
-    instead of T small ones), then runs a reverse-time ``lax.scan`` carrying
-    only the inherently-sequential cotangents (dh through the recurrence, dy
-    through the AR feedback), and finally forms all weight gradients as bulk
-    matmuls over the emitted per-step gate cotangents.
+    instead of T small ones), then runs a reverse-time cotangent scan
+    carrying only the inherently-sequential cotangents (dh through the
+    recurrence, dy through the AR feedback) — a fused Pallas kernel on TPU
+    (ops/pallas_gru.pallas_gru_ar_bwd, weights VMEM-resident), lax.scan
+    elsewhere — and finally forms all weight gradients as bulk matmuls over
+    the emitted per-step gate cotangents.
 
 This is strictly better than autodiffing the XLA scan: autodiff keeps the
 (B,3H)x(3H,H) recompute matmuls inside the backward scan; here only the two
@@ -25,7 +27,6 @@ Gate math matches torch exactly (see ops/gru_scan.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

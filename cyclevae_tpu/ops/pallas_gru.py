@@ -9,8 +9,10 @@ frame only the (B, 3H) hoisted input-gate slice streams in and the (B, out)
 output streams out.
 
 Scope: single-layer GRU (the flagship hl1 config; multi-layer falls back to
-ops.gru_scan).  Forward only — the training path keeps the XLA scan for
-autodiff; this kernel serves decode / eval / cvgv / SMC / HMC-free paths.
+ops.gru_scan).  Three kernels: inference forward (pallas_gru_ar), training
+forward streaming the h_seq VJP residual (pallas_gru_ar_train), and the
+reverse-time cotangent scan for the custom VJP (pallas_gru_ar_bwd) — so both
+directions of training keep weights VMEM-resident (ops/gru_ar_vjp.py).
 
 Gate math matches torch exactly (see ops/gru_scan.py): [r, z, n] row order,
 reset gate multiplies only the hidden-side candidate including its bias.
@@ -197,7 +199,7 @@ def pallas_gru_ar_train(
 def _kernel_bwd(dtrj_ref, hprev_ref, n_ref, z_ref, r_ref, ghn_ref, mask_ref,
                 wout_ref, whh_ref, wy_ref, dhT_ref, dyT_ref,
                 dgx_ref, dgh_ref, dytot_ref, dh0_ref, dy0_ref, dh_s, dy_s,
-                *, hidden: int, T: int):
+                *, T: int):
     """Reverse-time cotangent scan of the AR-GRU (see ops/gru_ar_vjp._bwd):
     only the two transposed-recurrence matmuls are sequential; weights stay
     VMEM-resident across the whole reversed grid (the XLA scan re-streams
@@ -292,7 +294,7 @@ def pallas_gru_ar_bwd(
         ],
     )
     tm = lambda a: jnp.swapaxes(a, 0, 1).astype(jnp.float32)
-    kernel = functools.partial(_kernel_bwd, hidden=H, T=T)
+    kernel = functools.partial(_kernel_bwd, T=T)
     dgx_t, dgh_t, dytot_t, dh0, dy0 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

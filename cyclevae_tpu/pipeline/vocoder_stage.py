@@ -12,7 +12,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -30,7 +30,6 @@ from ..models.wavernn import (
     upsample_cond,
     wavernn_loss,
 )
-from ..utils.hdf5 import read_hdf5
 from ..vi.checkpoint import save_checkpoint
 from .dataset_mult import NeuVocoDataset
 
