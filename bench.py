@@ -162,7 +162,8 @@ def main():
     numeric = {k: v for k, v in results.items() if isinstance(v, float)}
     if not numeric:  # every variant errored: still emit the JSON line
         print(json.dumps({
-            "metric": "cyclevae_train_frames_per_sec", "value": None,
+            "metric": "cyclevae_train_frames_per_sec",
+            "platform": jax.devices()[0].platform, "value": None,
             "unit": "frames/s", "vs_baseline": None, "variants": results,
         }))
         return
@@ -183,6 +184,7 @@ def main():
 
     print(json.dumps({
         "metric": "cyclevae_train_frames_per_sec",
+        "platform": jax.devices()[0].platform,
         "value": best_fps,
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
