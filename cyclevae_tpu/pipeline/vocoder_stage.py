@@ -66,7 +66,8 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
                       epochs: int = 10, batch_size: int = 8,
                       clip_frames: int = 24, lr: float = 2e-4,
                       seed: int = 1, lr_decay: bool = False,
-                      ckpt_every: int = 25) -> Dict:
+                      ckpt_every: int = 25,
+                      resume: str = None) -> Dict:
     os.makedirs(expdir, exist_ok=True)
     ds = NeuVocoDataset(wav_files, feat_files, cfg.hop)
     key = jax.random.PRNGKey(seed)
@@ -80,6 +81,17 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
     else:
         opt = optax.adam(lr)
     opt_state = opt.init(params)
+    start_epoch = 0
+    if resume:
+        from ..vi.checkpoint import load_checkpoint, restore_np_rng
+        ckpt = load_checkpoint(resume)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+        key = jnp.asarray(ckpt["jax_key"])
+        np_rng = restore_np_rng(ckpt["np_rng_state"])
+        start_epoch = int(ckpt["epoch"])
+        logging.info("vocoder resume from %s at epoch %d", resume,
+                     start_epoch)
 
     @jax.jit
     def step(params, opt_state, feats, wavs):
@@ -88,7 +100,12 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
         return optax.apply_updates(params, upd), opt_state, loss
 
     history = []
-    for epoch in range(epochs):
+    hist_path = os.path.join(expdir, "history.json")
+    if resume and os.path.exists(hist_path):
+        # splice: keep the pre-resume epochs' history entries
+        history = [h for h in json.load(open(hist_path))["history"]
+                   if h["epoch"] <= start_epoch]
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         order = np_rng.permutation(len(ds))
         losses = []
@@ -109,7 +126,7 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
                         name="checkpoint-latest.pkl")
         if (epoch + 1) % ckpt_every == 0 or epoch + 1 == epochs:
             save_checkpoint(expdir, params, opt_state, key, np_rng, epoch + 1)
-    with open(os.path.join(expdir, "history.json"), "w") as f:
+    with open(hist_path, "w") as f:
         json.dump({"history": history}, f, indent=2)
     return {"params": params, "history": history}
 

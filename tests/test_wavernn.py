@@ -113,6 +113,44 @@ def test_pallas_sampler_respects_logits(tiny_cfg):
     assert frac_hot > 0.9, frac_hot
 
 
+def test_vocoder_resume_reproduces_trajectory(tiny_cfg, tmp_path):
+    """Resuming vocoder training from checkpoint-latest reproduces the
+    straight-through run exactly (params + nll trajectory): RNG state, Adam
+    state and epoch counter all restore."""
+    from cyclevae_tpu.pipeline.vocoder_stage import run_train_vocoder
+    from cyclevae_tpu.utils.hdf5 import write_hdf5
+    from cyclevae_tpu.utils.wavio import write_wav
+
+    cfg = tiny_cfg
+    rng = np.random.default_rng(0)
+    wavs, feats = [], []
+    for i in range(3):
+        F = 30 + 5 * i
+        n = F * int(cfg.hop)
+        x = 8000.0 * np.sin(2 * np.pi * np.arange(n) / (30.0 + i))
+        wf = str(tmp_path / f"u{i}.wav")
+        write_wav(wf, 22050, x)
+        h5 = str(tmp_path / f"u{i}.h5")
+        write_hdf5(h5, "/feat_org_lf0", rng.normal(size=(F, cfg.feat_dim)))
+        wavs.append(wf)
+        feats.append(h5)
+
+    kw = dict(epochs=4, batch_size=2, clip_frames=8, ckpt_every=1)
+    full = run_train_vocoder(cfg, wavs, feats, str(tmp_path / "full"), **kw)
+    run_train_vocoder(cfg, wavs, feats, str(tmp_path / "part"),
+                      **{**kw, "epochs": 2})
+    resumed = run_train_vocoder(
+        cfg, wavs, feats, str(tmp_path / "part"),
+        resume=str(tmp_path / "part" / "checkpoint-latest.pkl"), **kw)
+    assert [h["epoch"] for h in resumed["history"]] == [1, 2, 3, 4]
+    for a, b in zip(full["history"], resumed["history"]):
+        np.testing.assert_allclose(a["nll"], b["nll"], rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(full["params"]),
+                    jax.tree_util.tree_leaves(resumed["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_converted_conditioning_layout():
     """Converted-utterance vocoder conditioning matches the training layout
     [uv, log cont-F0-lpf, codeap, mcep]: uv binary from the converted F0,

@@ -39,6 +39,8 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--lr-decay", action="store_true",
                    help="cosine-decay the lr to lr/10 over the run")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint to resume training from")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -79,7 +81,8 @@ def main():
         res = run_train_vocoder(cfg, wavs, feats, expdir, epochs=args.epochs,
                                 batch_size=args.batch_size,
                                 clip_frames=args.clip_frames,
-                                lr_decay=args.lr_decay)
+                                lr_decay=args.lr_decay,
+                                resume=args.resume)
         params = res["params"]
         final_nll = res["history"][-1]["nll"]
 
