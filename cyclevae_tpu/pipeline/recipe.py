@@ -101,7 +101,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                conf_dir: Optional[str] = None, n_jobs: int = 8,
                decode_epoch: Optional[int] = None,
                vocoder_epochs: int = 300, vocoder_clip_frames: int = 96,
-               vocoder_n_eval: int = 5, vocoder_hidden_units: int = 896):
+               vocoder_n_eval: int = 5, vocoder_hidden_units: int = 896,
+               vocoder_resume: str = None):
     from .. import enable_compilation_cache
     enable_compilation_cache()
     spk_src = exp.model.spk_src
@@ -324,7 +325,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                                f"vocoder_{spk_trg}_hu{vcfg.hidden_units}")
         res = run_train_vocoder(vcfg, wavs, h5s, vexpdir,
                                 epochs=vocoder_epochs,
-                                clip_frames=vocoder_clip_frames)
+                                clip_frames=vocoder_clip_frames,
+                                resume=vocoder_resume)
         agg = eval_copy_synthesis(res["params"], vcfg, exp,
                                   paths.wavs(spk_trg, eval_set=True)[:vocoder_n_eval],
                                   sc,
@@ -355,6 +357,7 @@ def main(argv=None):
     p.add_argument("--vocoder-clip-frames", type=int, default=96)
     p.add_argument("--vocoder-n-eval", type=int, default=5)
     p.add_argument("--vocoder-hidden-units", type=int, default=896)
+    p.add_argument("--vocoder-resume", default=None)
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
@@ -369,7 +372,8 @@ def main(argv=None):
                vocoder_epochs=args.vocoder_epochs,
                vocoder_clip_frames=args.vocoder_clip_frames,
                vocoder_n_eval=args.vocoder_n_eval,
-               vocoder_hidden_units=args.vocoder_hidden_units)
+               vocoder_hidden_units=args.vocoder_hidden_units,
+               vocoder_resume=args.vocoder_resume)
 
 
 if __name__ == "__main__":
