@@ -163,6 +163,10 @@ def converted_conditioning(src_feat: np.ndarray, cvmcep: np.ndarray,
     uv, contf0 = convert_continuos_f0(np.array(cvf0))
     cont_lpf = low_pass_filter(contf0, int(1.0 / (shiftms * 0.001)),
                                cutoff=20)
+    # degenerate all-unvoiced trajectory: the continuous F0 is 0 everywhere
+    # and log() would poison the conditioning with -inf; floor at 1 Hz
+    # (uv = 0 already tells the vocoder these frames are unvoiced)
+    cont_lpf = np.maximum(cont_lpf, 1.0)
     n_codeap = src_feat.shape[1] - 2 - cvmcep.shape[1]
     return np.c_[uv[:, None], np.log(cont_lpf)[:, None],
                  src_feat[:, 2:2 + n_codeap], cvmcep].astype(np.float32)

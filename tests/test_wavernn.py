@@ -175,6 +175,9 @@ def test_converted_conditioning_layout():
     np.testing.assert_array_equal(feat[:, 2:2 + n_codeap],
                                   src_feat[:, 2:2 + n_codeap])
     np.testing.assert_array_equal(feat[:, 2 + n_codeap:], cvmcep)
+    # degenerate all-unvoiced trajectory must still be finite
+    feat0 = converted_conditioning(src_feat, cvmcep, np.zeros(T), shiftms=5.0)
+    assert np.isfinite(feat0).all() and (feat0[:, 0] == 0).all()
 
 
 def test_fractional_hop_upsampler_no_drift():
