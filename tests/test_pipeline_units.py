@@ -282,3 +282,26 @@ def test_background_generator_prefetch_and_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_latest_checkpoint_resolution(tmp_path):
+    """Rolling checkpoint-latest.pkl wins; else the highest-numbered;
+    an empty dir raises."""
+    import os
+
+    import jax
+    import pytest
+
+    from cyclevae_tpu.vi.checkpoint import latest_checkpoint, save_checkpoint
+    rng = np.random.default_rng(0)
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, {"w": np.ones(2)}, {}, jax.random.PRNGKey(0), rng, 3)
+    save_checkpoint(d, {"w": np.ones(2)}, {}, jax.random.PRNGKey(0), rng, 12)
+    assert latest_checkpoint(d).endswith("checkpoint-12.pkl")
+    save_checkpoint(d, {"w": np.ones(2)}, {}, jax.random.PRNGKey(0), rng, 12,
+                    name="checkpoint-latest.pkl")
+    assert latest_checkpoint(d).endswith("checkpoint-latest.pkl")
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        latest_checkpoint(empty)
