@@ -70,6 +70,36 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(w2, w1, atol=2e-5)
 
 
+def test_sharded_step_with_fused_vjp_path():
+    """The custom-VJP fused path (cfg.use_pallas; XLA fallback off-TPU) must
+    compose with the DP-sharded pjit step — pins pjit compatibility of
+    jax.custom_vjp inside the scanned train step."""
+    cfg = CycleVAEConfig(hidden_units=32, n_cyc=1, do_prob=0.0,
+                         use_pallas=True)
+    B, seg, n_segs = 8, 20, 2
+    batch = _make_batch(B, seg * n_segs)
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32), np.ones(54, np.float32))
+    opt = make_optimizer(cfg, lr=1e-4)
+
+    ts1 = TrainState(params, opt.init(params), jax.random.PRNGKey(7),
+                     jnp.zeros((), jnp.int32))
+    ts1b, m1 = make_train_step(cfg, opt, seg, n_segs)(ts1, batch)
+
+    mesh = make_mesh(8)
+    params2 = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                            np.zeros(54, np.float32), np.ones(54, np.float32))
+    ts2 = TrainState(replicate(mesh, params2),
+                     replicate(mesh, opt.init(params2)),
+                     replicate(mesh, jax.random.PRNGKey(7)),
+                     replicate(mesh, jnp.zeros((), jnp.int32)))
+    step8 = make_sharded_train_step(cfg, opt, seg, n_segs, mesh)
+    with mesh:
+        ts2b, m2 = step8(ts2, shard_batch(mesh, batch))
+    np.testing.assert_allclose(np.asarray(m2["loss"]), np.asarray(m1["loss"]),
+                               rtol=2e-4)
+
+
 def test_sharded_batch_placement():
     mesh = make_mesh(8)
     batch = _make_batch(8, 16)
