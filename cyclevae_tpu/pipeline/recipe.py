@@ -102,7 +102,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                decode_epoch: Optional[int] = None,
                vocoder_epochs: int = 300, vocoder_clip_frames: int = 96,
                vocoder_n_eval: int = 5, vocoder_hidden_units: int = 896,
-               vocoder_resume: str = None):
+               vocoder_resume: str = None,
+               vocoder_temperature: float = 0.8):
     from .. import enable_compilation_cache
     enable_compilation_cache()
     spk_src = exp.model.spk_src
@@ -330,7 +331,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
         agg = eval_copy_synthesis(res["params"], vcfg, exp,
                                   paths.wavs(spk_trg, eval_set=True)[:vocoder_n_eval],
                                   sc,
-                                  os.path.join(vexpdir, "wav_vocoded"))
+                                  os.path.join(vexpdir, "wav_vocoded"),
+                                  temperature=vocoder_temperature)
         with open(os.path.join(vexpdir, "vocoder_eval.json"), "w") as f:
             _json.dump({"speaker": spk_trg, "epochs": vocoder_epochs,
                         "final_nll": res["history"][-1]["nll"],
@@ -358,6 +360,8 @@ def main(argv=None):
     p.add_argument("--vocoder-n-eval", type=int, default=5)
     p.add_argument("--vocoder-hidden-units", type=int, default=896)
     p.add_argument("--vocoder-resume", default=None)
+    p.add_argument("--vocoder-temperature", type=float, default=0.8,
+                   help="sampling temperature (0.8 = measured sweet spot)")
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
@@ -373,7 +377,8 @@ def main(argv=None):
                vocoder_clip_frames=args.vocoder_clip_frames,
                vocoder_n_eval=args.vocoder_n_eval,
                vocoder_hidden_units=args.vocoder_hidden_units,
-               vocoder_resume=args.vocoder_resume)
+               vocoder_resume=args.vocoder_resume,
+               vocoder_temperature=args.vocoder_temperature)
 
 
 if __name__ == "__main__":
