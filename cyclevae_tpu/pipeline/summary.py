@@ -20,6 +20,14 @@ def summarize(history_path: str, keys: Optional[List[str]] = None) -> str:
     best = data.get("best", {})
     if not history:
         return "(empty history)"
+    if "train" not in history[0]:
+        # flat schema (vocoder stage: {"epoch", "nll", "sec"})
+        flat_keys = [k for k in history[0] if k != "epoch"]
+        lines = ["epoch  " + "  ".join(f"{k:>12s}" for k in flat_keys)]
+        for h in history:
+            lines.append(f"{h['epoch']:5d}  " + "  ".join(
+                f"{h.get(k, float('nan')):12.3f}" for k in flat_keys))
+        return "\n".join(lines)
     keys = keys or ["mcdpow_cv_mean", "mcdpow_cv_std", "mcd_cv_mean",
                     "mcd_cv_std", "mcdpow_rec_mean", "criterion"]
     lines = ["epoch  train_loss  " + "  ".join(f"{k:>16s}" for k in keys)]
