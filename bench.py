@@ -9,8 +9,7 @@ reports model-FLOP utilization against the chip's measured bf16 matmul peak
 
 FLOP accounting is analytic from the model dims (matmul mults*2, forward;
 training = 3x forward for the fwd+bwd of every matmul; per-segment Adam and
-elementwise fusion are not counted — standard MFU convention), cross-checked
-against XLA's compiled cost analysis when the backend exposes it.
+elementwise fusion are not counted — standard MFU convention).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """

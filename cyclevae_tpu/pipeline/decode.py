@@ -202,8 +202,7 @@ def decode_interpolated(codec: Codec, key, feat: np.ndarray,
                         weights) -> np.ndarray:
     """Convert an utterance's features to an interpolated speaker identity.
     Returns the converted mcep trajectory (T, out_dim)."""
-    lat = codec.encode(feat)
-    z = codec.latent_mean(key, lat)
+    _, (z,) = codec.encode_mean(key, [feat])  # fused encode+posterior-mean
     code = speaker_interp_code(len(z), codec.cfg.n_spk, weights)
     return codec.decode(code, z)
 

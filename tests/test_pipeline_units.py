@@ -305,3 +305,23 @@ def test_latest_checkpoint_resolution(tmp_path):
     os.makedirs(empty)
     with pytest.raises(FileNotFoundError):
         latest_checkpoint(empty)
+
+
+def test_decode_interpolated_shapes():
+    """Speaker-interpolated decode through the fused Codec path."""
+    import jax
+    import numpy as np
+
+    from cyclevae_tpu.pipeline.decode import Codec, decode_interpolated
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+
+    cfg = CycleVAEConfig(hidden_units=16, lat_dim=4, n_spk=2, do_prob=0.0)
+    params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                           np.zeros(54, np.float32),
+                           np.ones(54, np.float32))
+    codec = Codec(params, cfg, n_smpl_dec=3)
+    T = 37
+    feat = np.random.default_rng(0).normal(size=(T, 54)).astype(np.float32)
+    cv = decode_interpolated(codec, jax.random.PRNGKey(1), feat, [0.3, 0.7])
+    assert cv.shape == (T, cfg.out_dim)
+    assert np.isfinite(cv).all()
