@@ -78,7 +78,7 @@ def gru_ar_fused(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask,
 def _fwd_impl(w_ih_y, w_hh, b_hh, w_out, b_out, gates_x, y0, h0, out_mask,
               impl):
     use_pallas = impl == "pallas" or (impl == "auto"
-                                      and jax.default_backend() != "cpu")
+                                      and jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas_gru import pallas_gru_ar_train
         gru_layer = {
@@ -127,7 +127,7 @@ def _bwd(impl, res, cts):
 
     # ---- reverse-time scan: only the sequential cotangent carries ----
     use_pallas = impl == "pallas" or (impl == "auto"
-                                      and jax.default_backend() != "cpu")
+                                      and jax.default_backend() == "tpu")
     if use_pallas:
         # fused Pallas reverse scan: weights VMEM-resident across the whole
         # reversed grid (the XLA scan re-streams the (3H, H) recurrence

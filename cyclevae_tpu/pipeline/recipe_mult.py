@@ -143,6 +143,10 @@ def run_mult_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                               all_spk, [w0, 1.0 - w0] + [0.0] *
                               (len(all_spk) - 2), outdir)
 
+        if not per_dir:  # no ordered direction had eval wavs
+            logging.warning("stage 6m: no eval pairs in any direction; "
+                            "skipping decode_metrics aggregate")
+            return
         overall = {k: float(np.mean([d[k] for d in per_dir.values()]))
                    for k in next(iter(per_dir.values()))
                    if not k.endswith("_std")}

@@ -121,7 +121,15 @@ def run_train_mult(exp: ExperimentConfig, feat_files: Sequence[str],
                 batch["flens"][len(order[s:s + bsu]):] = 0
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             ts, metrics = get_step(n_segs)(ts, jb)
-            ep_metrics.append({k: float(jnp.mean(v)) for k, v in metrics.items()})
+            # average over VALID segments only (as in train_stage.run_train):
+            # fully-padded trailing segments carry all-zero metrics that would
+            # dilute the epoch means, and seg_valid itself is a flag, not a
+            # training metric
+            w = np.asarray(metrics.pop("seg_valid"))
+            nw = max(float(w.sum()), 1.0)
+            ep_metrics.append(
+                {k: float(np.sum(np.asarray(v) * w) / nw)
+                 for k, v in metrics.items()})
         mean_train = {k: float(np.mean([mm[k] for mm in ep_metrics]))
                       for k in ep_metrics[0]}
         logging.info("m2m epoch %d train: %s (%.1fs)", epoch + 1,
