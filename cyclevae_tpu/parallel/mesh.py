@@ -34,10 +34,26 @@ def make_mesh(n_dp: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n_dp]), axis_names=("dp",))
 
 
+def _put_global(value, sharding: NamedSharding):
+    """Place a host value under a sharding that may span processes.
+
+    Single-process (all mesh devices addressable): plain ``device_put``.
+    Multi-process: every process holds the SAME host value (the recipe's
+    data loading is deterministic per epoch), so each contributes its local
+    shards via ``make_array_from_callback`` — ``device_put`` cannot target
+    non-addressable devices.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(value, sharding)
+    host = np.asarray(value)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (e.g. params) across the mesh."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(lambda v: _put_global(v, sharding), tree)
 
 
 def batch_spec(ndim: int) -> P:
@@ -50,8 +66,8 @@ def batch_spec(ndim: int) -> P:
 
 def shard_batch(mesh: Mesh, batch: Dict):
     """Shard batch-like arrays along their utterance/chain/particle axis over
-    ``dp`` (ndim-aware, see batch_spec)."""
-    return {k: jax.device_put(v, NamedSharding(mesh, batch_spec(np.ndim(v))))
+    ``dp`` (ndim-aware, see batch_spec; multi-process-safe, see _put_global)."""
+    return {k: _put_global(v, NamedSharding(mesh, batch_spec(np.ndim(v))))
             for k, v in batch.items()}
 
 

@@ -22,9 +22,29 @@ import sys
 def main():
     import jax
 
+    # Force a platform before the backend initializes (the axon TPU plugin
+    # ignores the JAX_PLATFORMS env var — this is the documented escape
+    # hatch, same contract as cyclevae_tpu.enable_compilation_cache).
+    platform = os.environ.get("CYCLEVAE_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            # cross-process CPU collectives need the gloo transport
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
     kwargs = {}
+    # Explicit convention (non-Slurm clusters, smoke tests)
+    if "CYCLEVAE_NUM_PROCESSES" in os.environ:
+        n = int(os.environ["CYCLEVAE_NUM_PROCESSES"])
+        if n > 1:
+            coord = os.environ.get("CYCLEVAE_COORDINATOR", "127.0.0.1")
+            kwargs = dict(
+                coordinator_address=f"{coord}:{os.environ.get('CYCLEVAE_PORT', '8476')}",
+                num_processes=n,
+                process_id=int(os.environ["CYCLEVAE_PROCESS_ID"]),
+            )
     # Slurm convention -> jax.distributed
-    if "SLURM_JOB_NUM_NODES" in os.environ and "SLURM_PROCID" in os.environ:
+    elif "SLURM_JOB_NUM_NODES" in os.environ and "SLURM_PROCID" in os.environ:
         n = int(os.environ["SLURM_JOB_NUM_NODES"])
         if n > 1:
             nodelist = os.environ.get("SLURM_JOB_NODELIST", "")
