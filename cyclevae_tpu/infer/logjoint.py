@@ -45,7 +45,9 @@ def make_utterance_logjoint(
 
     def logjoint(z: jnp.ndarray) -> jnp.ndarray:
         code_z = jnp.concatenate([spk_code, z], axis=-1)[None]
-        out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0)
+        out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0,
+                                  use_pallas=cfg.use_pallas,
+                                  differentiable=True)
         lik = -beta * jnp.sum(jnp.abs(out[0] - mcep))
         prior = -0.5 * jnp.sum(z ** 2)
         return lik + prior
@@ -77,7 +79,9 @@ def make_utterance_logjoint_batched(
                               (C, cfg.out_dim))
         code = jnp.broadcast_to(spk_code, (C,) + spk_code.shape)
         code_z = jnp.concatenate([code, z], axis=-1)
-        out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0)
+        out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0,
+                                  use_pallas=cfg.use_pallas,
+                                  differentiable=True)
         lik = -beta * jnp.sum(jnp.abs(out - mcep), axis=(-2, -1))
         prior = -0.5 * jnp.sum(z ** 2, axis=(-2, -1))
         return lik + prior

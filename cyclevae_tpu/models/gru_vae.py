@@ -130,6 +130,7 @@ def gru_rnn_apply(
     res_stdim: int = 0,
     res_endim: Optional[int] = None,
     noise: float = 0.0,
+    differentiable: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward over a (B, T, in_dim) segment.
 
@@ -194,12 +195,14 @@ def gru_rnn_apply(
         # fused Pallas AR scan with VMEM-resident weights (~1.36x over the
         # XLA scan at batch >=128, 82% of the bf16 matmul roofline)
         from ..ops.gru_scan import precompute_input_gates
-        if do or jax.default_backend() == "cpu":
+        if do or differentiable or jax.default_backend() == "cpu":
             # training path (differentiable; also any CPU run): custom-VJP
             # wrapper — Pallas fwd on TPU, XLA fallback elsewhere, bulk-
             # recompute reverse-scan bwd (ops/gru_ar_vjp.py).  A do_prob=0
             # training config still needs the VJP, so route by `do`, not by
             # mask presence, with an all-ones mask when dropout is off.
+            # ``differentiable=True`` forces this path for grad-needing
+            # callers without dropout (HMC/NUTS log-joints, infer/logjoint).
             from ..ops.gru_ar_vjp import gru_ar_fused
             g0 = gru_p[0]
             conv_dim = conv_seq.shape[-1]

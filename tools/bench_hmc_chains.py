@@ -1,0 +1,170 @@
+"""Chain-count sweep for batched-chain HMC on the flagship decoder log-joint.
+
+VERDICT r2 #4: the AR decoder step is batch-insensitive up to the MXU tile,
+so the samples/s/chip headline at 32 chains understates the chip.  This tool
+sweeps n_chains and reports samples/s/chip at each point so BASELINE.json's
+"HMC samples/s/chip" north star reflects the knee of the curve.
+
+Workload: per-utterance latent posterior inference against the frozen
+flagship (hu=1024) decoder — ``infer.logjoint.make_utterance_logjoint_batched``
+with chains riding the decoder batch axis, z of shape (C, T, 32), T=256.
+Each HMC iteration costs ``2*n_leapfrog`` log-joint gradient evaluations
+(each differentiating through the full AR scan) plus 2 log-joint values;
+every iteration (warmup or sampling) has identical cost, so
+samples/s/chip = C / per_iteration_time.
+
+Run ON the TPU (default platform).  Writes BENCH_HMC_CHAINS.json.
+
+Reference counterpart: none — the reference (CUDA/torch CycleVAE-VC) has no
+probabilistic-inference subsystem; this is framework capability beyond
+parity (SURVEY.md §5).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEFAULT_CKPT_GLOBS = [
+    "/tmp/vcwork3/exp/tpu-cyclevae-gauss_*bsu5/checkpoint-79.pkl",
+    "/tmp/vcwork*/exp/tpu-cyclevae-gauss_*/checkpoint-latest.pkl",
+]
+
+
+def find_ckpt(explicit):
+    if explicit:
+        return explicit
+    for pat in DEFAULT_CKPT_GLOBS:
+        hits = sorted(glob.glob(pat))
+        if hits:
+            return hits[0]
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--chains", type=int, nargs="+",
+                    default=[32, 64, 128, 256, 512])
+    ap.add_argument("--n-leapfrog", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=24,
+                    help="timed HMC iterations per chain count")
+    ap.add_argument("--mode", choices=["f32", "fast", "both"], default="both",
+                    help="decoder path: f32 XLA scan, bf16 fused Pallas "
+                         "(custom-VJP grads), or sweep both")
+    ap.add_argument("--out", default="BENCH_HMC_CHAINS.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cyclevae_tpu.infer.hmc import HMCConfig, hmc_sample_batch
+    from cyclevae_tpu.infer.logjoint import make_utterance_logjoint_batched
+    from cyclevae_tpu import enable_compilation_cache
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+
+    enable_compilation_cache()
+    platform = jax.devices()[0].platform
+    cfg = CycleVAEConfig(hidden_units=1024, n_cyc=2)
+
+    ckpt = None if args.ckpt == "none" else find_ckpt(args.ckpt)
+    if ckpt:
+        from cyclevae_tpu.vi.checkpoint import load_checkpoint
+        params = load_checkpoint(ckpt)["params"]
+        # Device-put: numpy leaves closed over in jit are embedded as HLO
+        # literals (tens of MB), which crashes the v5e memory-space assigner;
+        # device arrays are hoisted as captured parameters instead.
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        src = os.path.basename(os.path.dirname(ckpt)) + "/" + \
+            os.path.basename(ckpt)
+    else:
+        params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                               np.zeros(54, np.float32),
+                               np.ones(54, np.float32))
+        src = "fresh-init"
+
+    T, ld = args.frames, cfg.lat_dim
+    rng = np.random.default_rng(0)
+    t = np.arange(T)[:, None]
+    feats = (np.sin(t * 0.05 + np.arange(54)[None, :])
+             + 0.1 * rng.normal(size=(T, 54))).astype(np.float32)
+    spk_code = np.tile([0.0, 1.0], (T, 1)).astype(np.float32)
+
+    feats_d, code_d = jnp.asarray(feats), jnp.asarray(spk_code)
+
+    hmc_cfg = HMCConfig(step_size=0.02, n_leapfrog=args.n_leapfrog,
+                        n_warmup=8, n_samples=args.iters, adapt_mass=True)
+    total_iters = hmc_cfg.n_warmup + hmc_cfg.n_samples
+
+    from dataclasses import replace as dc_replace
+
+    modes = {"f32": cfg,
+             "fast": dc_replace(cfg, use_pallas=True,
+                                compute_dtype="bfloat16")}
+    if args.mode != "both":
+        modes = {args.mode: modes[args.mode]}
+
+    def make_run(cfg_m):
+        # params ride as a jit ARGUMENT, not a closure: closed-over small
+        # param leaves (scale_out stats) inline as HLO literals, and with
+        # real (non-zero/one) values the folded program crashes the v5e
+        # memory-space assigner ("Check failed: memory_space ==
+        # existing_required_assignment", copy.461 — seen 2026-08-19;
+        # fresh-init zeros/ones fold away and pass).
+        @jax.jit
+        def run(params, key, z0):
+            lj = make_utterance_logjoint_batched(params, cfg_m,
+                                                 feats_d, code_d)
+            samples, info = hmc_sample_batch(key, lj, z0, hmc_cfg)
+            # reduce the WHOLE stack on device: samples[-1] slicing of the
+            # scan-stacked output also trips the same MSA check here
+            return jnp.mean(samples), info["accept_prob"]
+        return run
+
+    sweeps = {}
+    for mode, cfg_m in modes.items():
+        run = make_run(cfg_m)
+        rows = []
+        for C in args.chains:
+            z0 = jnp.asarray(
+                rng.normal(size=(C, T, ld)).astype(np.float32) * 0.1)
+            key = jax.random.PRNGKey(C)
+            m, acc = run(params, key, z0)  # compile + first run
+            jax.block_until_ready(m)
+            t0 = time.perf_counter()
+            m, acc = run(params, key, z0)
+            jax.block_until_ready(m)
+            dt = time.perf_counter() - t0
+            per_iter = dt / total_iters
+            sps = C / per_iter
+            rows.append({"chains": C, "iter_ms": per_iter * 1e3,
+                         "samples_per_sec_per_chip": round(sps, 1),
+                         "accept": round(float(acc), 3)})
+            print(f"[{mode}] C={C:4d}  {per_iter*1e3:8.2f} ms/iter  "
+                  f"{sps:10.1f} samples/s/chip  accept={float(acc):.3f}")
+        sweeps[mode] = rows
+
+    all_rows = [r for rows in sweeps.values() for r in rows]
+    best = max(all_rows, key=lambda r: r["samples_per_sec_per_chip"])
+    best_mode = next(m for m, rows in sweeps.items() if best in rows)
+    out = {"metric": "hmc_samples_per_sec_per_chip",
+           "platform": platform, "params": src,
+           "frames": T, "lat_dim": ld, "n_leapfrog": args.n_leapfrog,
+           "value": best["samples_per_sec_per_chip"],
+           "best_chains": best["chains"], "best_mode": best_mode,
+           "sweep": sweeps}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "platform", "value", "best_chains")}))
+
+
+if __name__ == "__main__":
+    main()
