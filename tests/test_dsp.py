@@ -407,3 +407,69 @@ def test_anasyn_f0_retrack_quality():
     ratio = f0y[:n][both] / f0[:n][both]
     assert np.mean(np.abs(ratio - 1) < 0.1) > 0.85
     assert np.mean(vo & ~vy) < 0.10
+
+
+def test_aperiodicity_time_varying_hnr_ramp():
+    """Band aperiodicity must TRACK a time-varying noise fraction (VERDICT r2
+    #9: the constant-a fixtures above can be satisfied by a temporally-blurred
+    estimator).  Chirped harmonics + white noise whose per-band fraction ramps
+    smoothly 0.1 -> 0.55 -> 0.1; the per-frame 3k/6k-bin estimate must follow
+    the local analytic truth a(t) within an absolute 0.12 over the middle 80%
+    of the utterance (windowing limits time resolution at the edges)."""
+    rng = np.random.default_rng(3)
+    n = int(1.6 * FS)
+    t = np.arange(n) / FS
+    f0t = 180 + 30 * t                      # mild chirp, keeps it non-trivial
+    theta = 2 * np.pi * np.cumsum(f0t) / FS
+    x = np.zeros(n)
+    for k in range(1, int(FS / 2 / f0t.max())):
+        x += np.cos(k * theta + rng.uniform(0, 2 * np.pi))
+    a_t = 0.1 + 0.45 * np.sin(np.pi * t / t[-1]) ** 2       # 0.1->0.55->0.1
+    dens = 0.5 / 180.0
+    v_t = dens * a_t ** 2 / (1 - a_t ** 2) * (FS / 2)
+    x = x + np.sqrt(v_t) * rng.normal(size=n)
+
+    f0, tax = world.harvest(x, FS)
+    f0 = world.stonemask(x, f0, tax, FS)
+    ap = world.d4c(x, f0, tax, FS, 1024)
+    a_true = 0.1 + 0.45 * np.sin(np.pi * tax / t[-1]) ** 2
+    lo, hi = int(0.1 * len(tax)), int(0.9 * len(tax))
+    sel = (f0 > 0)
+    sel[:lo] = False
+    sel[hi:] = False
+    est = ap[:, [139, 279]].mean(axis=1)                    # 3k / 6k bins
+    err = est[sel] - a_true[sel]
+    # median |err| tight; allow a small tail of outlier frames
+    assert np.median(np.abs(err)) < 0.08, np.median(np.abs(err))
+    assert np.mean(np.abs(err) < 0.2) > 0.9, np.mean(np.abs(err) < 0.2)
+
+
+def test_aperiodicity_noise_burst_localized():
+    """A 250 ms noise burst over clean harmonics must read HIGH inside the
+    burst and stay LOW >=80 ms outside it — time LOCALIZATION of the
+    aperiodicity estimate, the regime a long-window estimator smears."""
+    rng = np.random.default_rng(4)
+    n = int(1.5 * FS)
+    t = np.arange(n) / FS
+    f0c = 200.0
+    theta = 2 * np.pi * f0c * t
+    x = np.zeros(n)
+    for k in range(1, int(FS / 2 / f0c)):
+        x += np.cos(k * theta + rng.uniform(0, 2 * np.pi))
+    burst = (t > 0.6) & (t < 0.85)
+    a_in = 0.6
+    dens = 0.5 / f0c
+    v = dens * a_in ** 2 / (1 - a_in ** 2) * (FS / 2)
+    x = x + np.where(burst, np.sqrt(v), 0.0) * rng.normal(size=n)
+
+    f0, tax = world.harvest(x, FS)
+    f0 = world.stonemask(x, f0, tax, FS)
+    ap = world.d4c(x, f0, tax, FS, 1024)
+    est = ap[:, [139, 279]].mean(axis=1)
+    voiced = f0 > 0
+    inside = voiced & (tax > 0.64) & (tax < 0.81)
+    outside = voiced & (((tax > 0.15) & (tax < 0.52)) |
+                        ((tax > 0.93) & (tax < 1.35)))
+    assert inside.sum() > 10 and outside.sum() > 20
+    assert np.median(est[inside]) > 0.45, np.median(est[inside])
+    assert np.median(est[outside]) < 0.15, np.median(est[outside])
