@@ -39,9 +39,18 @@ class WaveRNNConfig:
     hidden_units: int = 896
     fc_dim: int = 128
     feat_dim: int = 54
+    # speaker conditioning: when > 0 the conditioning input is the acoustic
+    # features with an n_spk one-hot speaker code appended (multi-speaker
+    # training pools every speaker's data into one model — the round-2
+    # single-speaker vocoder was data-limited at ~4 min of speech)
+    n_spk: int = 0
     # samples per frame — FRACTIONAL: 5 ms @ 22.05 kHz = 110.25 = 441/4.
     # The old integer hop (110) drifted ~14 ms over a 6 s utterance.
     hop: float = 110.25
+
+    @property
+    def cond_in_dim(self) -> int:
+        return self.feat_dim + self.n_spk
 
 
 def hop_fraction(cfg: WaveRNNConfig) -> Tuple[int, int]:
@@ -83,7 +92,7 @@ def init_wavernn(key, cfg: WaveRNNConfig) -> Dict:
     in_dim = cfg.embed_dim + cfg.cond_dim
     return {
         "embed": xavier_uniform(ks[0], (cfg.n_classes, cfg.embed_dim)),
-        "cond": init_dense(ks[1], cfg.feat_dim, cfg.cond_dim),
+        "cond": init_dense(ks[1], cfg.cond_in_dim, cfg.cond_dim),
         "gru": {
             "w_ih": xavier_uniform(ks[2], (3 * H, in_dim)),
             "w_hh": xavier_uniform(ks[3], (3 * H, H)),

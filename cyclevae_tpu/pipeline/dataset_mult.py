@@ -278,12 +278,19 @@ class NeuVocoDataset:
 
     def __init__(self, wav_list: Sequence[str], feat_list: Sequence[str],
                  upsampling_factor: "int | float",
-                 string_path: str = "/feat_org_lf0"):
+                 string_path: str = "/feat_org_lf0",
+                 spk_ids: Optional[Sequence[int]] = None, n_spk: int = 0):
         assert len(wav_list) == len(feat_list)
         self.wav_list = list(wav_list)
         self.feat_list = list(feat_list)
         self.upsampling_factor = upsampling_factor
         self.string_path = string_path
+        # multi-speaker vocoder: append a one-hot speaker code per frame
+        # (WaveRNNConfig.n_spk conditioning surface)
+        if spk_ids is not None:
+            assert len(spk_ids) == len(wav_list) and n_spk > 0
+        self.spk_ids = list(spk_ids) if spk_ids is not None else None
+        self.n_spk = n_spk
 
     def __len__(self):
         return len(self.wav_list)
@@ -294,5 +301,9 @@ class NeuVocoDataset:
         x = x / 32768.0
         feat = read_hdf5(self.feat_list[idx], self.string_path)
         x, feat = validate_length(x, feat, self.upsampling_factor)
+        if self.spk_ids is not None:
+            code = np.zeros((feat.shape[0], self.n_spk), feat.dtype)
+            code[:, self.spk_ids[idx]] = 1.0
+            feat = np.concatenate([feat, code], axis=1)
         return {"x": x.astype(np.float32), "feat": feat.astype(np.float32),
                 "featfile": self.feat_list[idx]}

@@ -103,7 +103,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                vocoder_epochs: int = 300, vocoder_clip_frames: int = 96,
                vocoder_n_eval: int = 5, vocoder_hidden_units: int = 896,
                vocoder_resume: str = None,
-               vocoder_temperature: float = 0.8):
+               vocoder_temperature: float = 0.8,
+               vocoder_multispk: bool = False):
     from .. import enable_compilation_cache
     enable_compilation_cache()
     spk_src = exp.model.spk_src
@@ -273,20 +274,37 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                 while pending:
                     yield pending.popleft().result()
 
-            analyses = BackgroundGenerator(ana_gen(), max_prefetch=2)
-            try:
-                with ThreadPoolExecutor(max_workers=n_workers) as syn_pool:
-                    futs = []
-                    for i, analysis in enumerate(analyses):
-                        ws, wt = pairs[i]
-                        futs.append(syn_pool.submit(
-                            decode_pair, codec, exp, keys[i], ws, wt, outdir,
-                            f0stats, gv, sc_src.minf0, sc_src.maxf0,
-                            sc_trg.minf0, sc_trg.maxf0, sc_src.pow_threshold,
-                            sc_trg.pow_threshold, analysis=analysis))
-                    all_metrics = [f.result() for f in futs]
-            finally:
-                ana_pool.shutdown(wait=False, cancel_futures=True)
+            if os.environ.get("CYCLEVAE_PREFETCH", "1") == "0":
+                # sequential baseline (A/B knob for the overlap pipeline):
+                # analyze -> decode -> synthesize one pair at a time
+                ana_pool.shutdown(wait=False)
+                all_metrics = [
+                    decode_pair(codec, exp, keys[i], ws, wt, outdir,
+                                f0stats, gv, sc_src.minf0, sc_src.maxf0,
+                                sc_trg.minf0, sc_trg.maxf0,
+                                sc_src.pow_threshold, sc_trg.pow_threshold,
+                                analysis=analyze_pair(
+                                    exp, ws, wt, sc_src.minf0, sc_src.maxf0,
+                                    sc_trg.minf0, sc_trg.maxf0,
+                                    sc_src.pow_threshold,
+                                    sc_trg.pow_threshold))
+                    for i, (ws, wt) in enumerate(pairs)]
+            else:
+                analyses = BackgroundGenerator(ana_gen(), max_prefetch=2)
+                try:
+                    with ThreadPoolExecutor(max_workers=n_workers) as syn_pool:
+                        futs = []
+                        for i, analysis in enumerate(analyses):
+                            ws, wt = pairs[i]
+                            futs.append(syn_pool.submit(
+                                decode_pair, codec, exp, keys[i], ws, wt,
+                                outdir, f0stats, gv, sc_src.minf0,
+                                sc_src.maxf0, sc_trg.minf0, sc_trg.maxf0,
+                                sc_src.pow_threshold, sc_trg.pow_threshold,
+                                analysis=analysis))
+                        all_metrics = [f.result() for f in futs]
+                finally:
+                    ana_pool.shutdown(wait=False, cancel_futures=True)
             agg = {k: float(np.mean([m[k] for m in all_metrics]))
                    for k in all_metrics[0]}
             agg_std = {f"{k}_std": float(np.std([m[k] for m in all_metrics]))
@@ -317,28 +335,69 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
 
         from ..models.wavernn import WaveRNNConfig
         from .vocoder_stage import eval_copy_synthesis, run_train_vocoder
-        vcfg = WaveRNNConfig(hidden_units=vocoder_hidden_units)
-        sc = _read_spk_conf(conf_dir, spk_trg)
-        wavs = paths.wavs(spk_trg)[:paths.n_train]
-        h5s = paths.h5s(spk_trg)[:paths.n_train]
-        assert len(wavs) == len(h5s) and wavs, "run stages 0-1 first"
-        vexpdir = os.path.join(paths.work, "exp",
-                               f"vocoder_{spk_trg}_hu{vcfg.hidden_units}")
-        res = run_train_vocoder(vcfg, wavs, h5s, vexpdir,
-                                epochs=vocoder_epochs,
-                                clip_frames=vocoder_clip_frames,
-                                resume=vocoder_resume)
-        agg = eval_copy_synthesis(res["params"], vcfg, exp,
-                                  paths.wavs(spk_trg, eval_set=True)[:vocoder_n_eval],
-                                  sc,
-                                  os.path.join(vexpdir, "wav_vocoded"),
-                                  temperature=vocoder_temperature)
-        with open(os.path.join(vexpdir, "vocoder_eval.json"), "w") as f:
-            _json.dump({"speaker": spk_trg, "epochs": vocoder_epochs,
-                        "final_nll": res["history"][-1]["nll"],
-                        "copy_synthesis": agg}, f, indent=2)
-        logging.info("stage v done: %s", {k: round(v, 3)
-                                          for k, v in agg.items()})
+        if vocoder_multispk:
+            # pool BOTH speakers' full train+pair sets (2 x 81 utts here)
+            # under one-hot speaker-code conditioning: the single-speaker
+            # model was data-limited at ~4 min of speech (VERDICT r2 #5)
+            spks = [spk_src, spk_trg]
+            vcfg = WaveRNNConfig(hidden_units=vocoder_hidden_units,
+                                 n_spk=len(spks))
+            wavs, h5s, spk_ids = [], [], []
+            for si, spk in enumerate(spks):
+                w = paths.wavs(spk)
+                h = paths.h5s(spk)
+                assert len(w) == len(h) and w, "run stages 0-1 first"
+                wavs += w
+                h5s += h
+                spk_ids += [si] * len(w)
+            vexpdir = os.path.join(
+                paths.work, "exp",
+                f"vocoder_multispk_hu{vcfg.hidden_units}")
+            res = run_train_vocoder(vcfg, wavs, h5s, vexpdir,
+                                    epochs=vocoder_epochs,
+                                    clip_frames=vocoder_clip_frames,
+                                    resume=vocoder_resume,
+                                    spk_ids=spk_ids)
+            aggs = {}
+            for si, spk in enumerate(spks):
+                if vocoder_n_eval <= 0:
+                    continue
+                sc = _read_spk_conf(conf_dir, spk)
+                aggs[spk] = eval_copy_synthesis(
+                    res["params"], vcfg, exp,
+                    paths.wavs(spk, eval_set=True)[:vocoder_n_eval], sc,
+                    os.path.join(vexpdir, f"wav_vocoded_{spk}"),
+                    temperature=vocoder_temperature, spk_id=si)
+            with open(os.path.join(vexpdir, "vocoder_eval.json"), "w") as f:
+                _json.dump({"speakers": spks, "epochs": vocoder_epochs,
+                            "final_nll": res["history"][-1]["nll"],
+                            "copy_synthesis": aggs}, f, indent=2)
+            logging.info("stage v done (multispk): %s",
+                         {s: {k: round(v, 3) for k, v in a.items()}
+                          for s, a in aggs.items()})
+        else:
+            vcfg = WaveRNNConfig(hidden_units=vocoder_hidden_units)
+            sc = _read_spk_conf(conf_dir, spk_trg)
+            wavs = paths.wavs(spk_trg)[:paths.n_train]
+            h5s = paths.h5s(spk_trg)[:paths.n_train]
+            assert len(wavs) == len(h5s) and wavs, "run stages 0-1 first"
+            vexpdir = os.path.join(paths.work, "exp",
+                                   f"vocoder_{spk_trg}_hu{vcfg.hidden_units}")
+            res = run_train_vocoder(vcfg, wavs, h5s, vexpdir,
+                                    epochs=vocoder_epochs,
+                                    clip_frames=vocoder_clip_frames,
+                                    resume=vocoder_resume)
+            agg = eval_copy_synthesis(res["params"], vcfg, exp,
+                                      paths.wavs(spk_trg, eval_set=True)[:vocoder_n_eval],
+                                      sc,
+                                      os.path.join(vexpdir, "wav_vocoded"),
+                                      temperature=vocoder_temperature)
+            with open(os.path.join(vexpdir, "vocoder_eval.json"), "w") as f:
+                _json.dump({"speaker": spk_trg, "epochs": vocoder_epochs,
+                            "final_nll": res["history"][-1]["nll"],
+                            "copy_synthesis": agg}, f, indent=2)
+            logging.info("stage v done: %s", {k: round(v, 3)
+                                              for k, v in agg.items()})
 
 
 def main(argv=None):
@@ -362,6 +421,9 @@ def main(argv=None):
     p.add_argument("--vocoder-resume", default=None)
     p.add_argument("--vocoder-temperature", type=float, default=0.8,
                    help="sampling temperature (0.8 = measured sweet spot)")
+    p.add_argument("--vocoder-multispk", action="store_true",
+                   help="pool both speakers' train+pair sets under one-hot "
+                        "speaker-code conditioning (one shared model)")
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
@@ -378,7 +440,8 @@ def main(argv=None):
                vocoder_n_eval=args.vocoder_n_eval,
                vocoder_hidden_units=args.vocoder_hidden_units,
                vocoder_resume=args.vocoder_resume,
-               vocoder_temperature=args.vocoder_temperature)
+               vocoder_temperature=args.vocoder_temperature,
+               vocoder_multispk=args.vocoder_multispk)
 
 
 if __name__ == "__main__":

@@ -67,9 +67,11 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
                       clip_frames: int = 24, lr: float = 2e-4,
                       seed: int = 1, lr_decay: bool = False,
                       ckpt_every: int = 25,
-                      resume: str = None) -> Dict:
+                      resume: str = None,
+                      spk_ids: Sequence[int] = None) -> Dict:
     os.makedirs(expdir, exist_ok=True)
-    ds = NeuVocoDataset(wav_files, feat_files, cfg.hop)
+    ds = NeuVocoDataset(wav_files, feat_files, cfg.hop,
+                        spk_ids=spk_ids, n_spk=cfg.n_spk)
     key = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
     params = init_wavernn(key, cfg)
@@ -133,8 +135,17 @@ def run_train_vocoder(cfg: WaveRNNConfig, wav_files: Sequence[str],
 
 def synthesize_vocoder(params: Dict, cfg: WaveRNNConfig, feats: np.ndarray,
                        seed: int = 0, temperature: float = 1.0,
-                       use_pallas: bool = True) -> np.ndarray:
-    """Features (F, feat_dim) -> waveform samples in [-1, 1]."""
+                       use_pallas: bool = True, spk_id: int = None
+                       ) -> np.ndarray:
+    """Features (F, feat_dim) -> waveform samples in [-1, 1].  For a
+    multi-speaker model (cfg.n_spk > 0) pass ``spk_id`` to append the
+    one-hot speaker code the model was trained with."""
+    feats = np.asarray(feats, np.float32)
+    if cfg.n_spk > 0:
+        assert spk_id is not None, "multi-speaker vocoder needs spk_id"
+        code = np.zeros((feats.shape[0], cfg.n_spk), np.float32)
+        code[:, spk_id] = 1.0
+        feats = np.concatenate([feats, code], axis=1)
     cond = upsample_cond(params, cfg, jnp.asarray(feats, jnp.float32)[None])
     if use_pallas and jax.devices()[0].platform == "tpu":
         from ..ops.pallas_wavernn import pallas_wavernn_generate
@@ -174,7 +185,8 @@ def converted_conditioning(src_feat: np.ndarray, cvmcep: np.ndarray,
 
 def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
                         eval_wavs: Sequence[str], sc, outdir: str,
-                        temperature: float = 1.0) -> Dict:
+                        temperature: float = 1.0,
+                        spk_id: int = None) -> Dict:
     """Copy-synthesis quality on held-out utterances: analyze -> vocode the
     natural features -> re-analyze, report DTW MCD vs the original mcep plus
     voiced-F0 relative error and U/V agreement.  ``sc``: SpeakerConf bounds.
@@ -192,7 +204,8 @@ def eval_copy_synthesis(params: Dict, cfg: WaveRNNConfig, exp,
                              fcfg)
         # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
         y = synthesize_vocoder(params, cfg, ana["feat"], seed=i,
-                                temperature=temperature) * 32768.0
+                                temperature=temperature,
+                                spk_id=spk_id) * 32768.0
         write_wav(os.path.join(outdir, os.path.basename(wf)), fs,
                   y.astype(np.float32))
         re = _feat_from_wav(y.astype(np.float64), fs, sc.minf0, sc.maxf0,

@@ -204,3 +204,62 @@ def test_fractional_hop_upsampler_no_drift():
     pos_expected = np.clip((n + 0.5) * 4 / 441 - 0.5, 0, F - 1)
     interp = np.interp(pos_expected, np.arange(F), c_frames[:, 0])
     np.testing.assert_allclose(cond[:, 0], interp, atol=1e-5)
+
+
+def test_multispk_conditioning_end_to_end(tiny_cfg, tmp_path):
+    """Speaker-code conditioning (VERDICT r2 #5): the dataset appends the
+    one-hot, the model's cond dense is widened by n_spk, training runs, and
+    the trained model's output distribution actually DEPENDS on the code."""
+    from dataclasses import replace
+
+    from cyclevae_tpu.pipeline.dataset_mult import NeuVocoDataset
+    from cyclevae_tpu.pipeline.vocoder_stage import run_train_vocoder
+    from cyclevae_tpu.utils.hdf5 import write_hdf5
+    from cyclevae_tpu.utils.wavio import write_wav
+
+    cfg = replace(tiny_cfg, n_spk=2)
+    rng = np.random.default_rng(0)
+    # IDENTICAL acoustic features for every utterance: the one-hot code is
+    # the ONLY signal separating the two very different waveforms
+    shared_feat = np.tile(rng.normal(size=(1, cfg.feat_dim)), (24, 1))
+    wavs, feats, spk_ids = [], [], []
+    for i in range(4):
+        F = 24
+        n = F * int(cfg.hop)
+        if i % 2 == 0:
+            x = 8000.0 * np.sin(2 * np.pi * np.arange(n) / 25.0)
+        else:
+            x = 6000.0 * np.sign(np.sin(2 * np.pi * np.arange(n) / 60.0))
+        wf = str(tmp_path / f"u{i}.wav")
+        write_wav(wf, 22050, x)
+        h5 = str(tmp_path / f"u{i}.h5")
+        write_hdf5(h5, "/feat_org_lf0", shared_feat)
+        wavs.append(wf)
+        feats.append(h5)
+        spk_ids.append(i % 2)
+
+    ds = NeuVocoDataset(wavs, feats, cfg.hop, spk_ids=spk_ids,
+                        n_spk=cfg.n_spk)
+    item = ds[1]
+    assert item["feat"].shape[1] == cfg.feat_dim + cfg.n_spk
+    np.testing.assert_array_equal(item["feat"][:, -2:],
+                                  np.tile([0.0, 1.0], (len(item["feat"]), 1)))
+
+    res = run_train_vocoder(cfg, wavs, feats, str(tmp_path / "ms"),
+                            epochs=150, batch_size=4, clip_frames=8,
+                            lr=1e-3, ckpt_every=1000, spk_ids=spk_ids)
+    assert res["history"][-1]["nll"] < res["history"][0]["nll"]
+
+    # the code must matter: teacher-forced NLL of speaker-0's waveform under
+    # its OWN code beats it under the other speaker's code
+    from cyclevae_tpu.models.wavernn import wavernn_loss
+    it0 = ds[0]
+    F = 16
+    f = jnp.asarray(it0["feat"][None, :F])
+    w = jnp.asarray(it0["x"][None, :F * int(cfg.hop)])
+    f_wrong = np.array(f)
+    f_wrong[..., -2:] = f_wrong[..., -2:][..., ::-1]
+    nll_own = float(wavernn_loss(res["params"], cfg, f, w))
+    nll_wrong = float(wavernn_loss(res["params"], cfg,
+                                   jnp.asarray(f_wrong), w))
+    assert nll_own < nll_wrong, (nll_own, nll_wrong)

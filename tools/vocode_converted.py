@@ -55,6 +55,12 @@ def main():
                    help="CycleVAE epoch (default: best)")
     p.add_argument("--temperature", type=float, default=0.8,
                    help="sampling temperature (0.8 is the copy-synthesis sweet spot)")
+    p.add_argument("--n-spk", type=int, default=0,
+                   help="vocoder speaker-code width (multispk model)")
+    p.add_argument("--spk-id", type=int, default=1,
+                   help="speaker code for rendering (multispk training "
+                        "order is [spk_src, spk_trg]; conversion targets "
+                        "spk_trg = 1)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -112,7 +118,7 @@ def main():
     cvgv_mean = read_hdf5(paths.stats(spk_src), f"/cvgv_mean_{model_id}")
 
     # --- trained neural vocoder -------------------------------------------
-    vcfg = WaveRNNConfig(hidden_units=args.hidden_units)
+    vcfg = WaveRNNConfig(hidden_units=args.hidden_units, n_spk=args.n_spk)
     vckpt = load_checkpoint(latest_checkpoint(args.vocoder_exp))
     vparams = jax.tree_util.tree_map(jnp.asarray, vckpt["params"])
 
@@ -150,7 +156,9 @@ def main():
 
         # vocoder samples are [-1, 1]; host IO/analysis are int16-scale
         y = synthesize_vocoder(vparams, vcfg, feat_cv, seed=i,
-                               temperature=args.temperature) * 32768.0
+                               temperature=args.temperature,
+                               spk_id=args.spk_id if args.n_spk else None,
+                               ) * 32768.0
         base = os.path.splitext(os.path.basename(ws))[0]
         write_wav(os.path.join(outdir, f"{base}_GVvoc.wav"), fs,
                   y.astype(np.float32))
