@@ -104,7 +104,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                vocoder_n_eval: int = 5, vocoder_hidden_units: int = 896,
                vocoder_resume: str = None,
                vocoder_temperature: float = 0.8,
-               vocoder_multispk: bool = False):
+               vocoder_multispk: bool = False,
+               vocoder_lr_decay: bool = False):
     from .. import enable_compilation_cache
     enable_compilation_cache()
     spk_src = exp.model.spk_src
@@ -357,7 +358,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
                                     epochs=vocoder_epochs,
                                     clip_frames=vocoder_clip_frames,
                                     resume=vocoder_resume,
-                                    spk_ids=spk_ids)
+                                    spk_ids=spk_ids,
+                                    lr_decay=vocoder_lr_decay)
             aggs = {}
             for si, spk in enumerate(spks):
                 if vocoder_n_eval <= 0:
@@ -386,7 +388,8 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
             res = run_train_vocoder(vcfg, wavs, h5s, vexpdir,
                                     epochs=vocoder_epochs,
                                     clip_frames=vocoder_clip_frames,
-                                    resume=vocoder_resume)
+                                    resume=vocoder_resume,
+                                    lr_decay=vocoder_lr_decay)
             agg = eval_copy_synthesis(res["params"], vcfg, exp,
                                       paths.wavs(spk_trg, eval_set=True)[:vocoder_n_eval],
                                       sc,
@@ -424,6 +427,8 @@ def main(argv=None):
     p.add_argument("--vocoder-multispk", action="store_true",
                    help="pool both speakers' train+pair sets under one-hot "
                         "speaker-code conditioning (one shared model)")
+    p.add_argument("--vocoder-lr-decay", action="store_true",
+                   help="cosine lr decay to lr/10 over the run")
     args = p.parse_args(argv)
 
     exp = load_config(args.config) if args.config else ExperimentConfig()
@@ -441,7 +446,8 @@ def main(argv=None):
                vocoder_hidden_units=args.vocoder_hidden_units,
                vocoder_resume=args.vocoder_resume,
                vocoder_temperature=args.vocoder_temperature,
-               vocoder_multispk=args.vocoder_multispk)
+               vocoder_multispk=args.vocoder_multispk,
+               vocoder_lr_decay=args.vocoder_lr_decay)
 
 
 if __name__ == "__main__":
