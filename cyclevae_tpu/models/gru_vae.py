@@ -197,10 +197,10 @@ def gru_rnn_apply(
         from ..ops.gru_scan import precompute_input_gates
         if do or differentiable or jax.default_backend() == "cpu":
             # training path (differentiable; also any CPU run): custom-VJP
-            # wrapper — Pallas fwd on TPU, XLA fallback elsewhere, bulk-
-            # recompute reverse-scan bwd (ops/gru_ar_vjp.py).  A do_prob=0
-            # training config still needs the VJP, so route by `do`, not by
-            # mask presence, with an all-ones mask when dropout is off.
+            # wrapper — Pallas fwd on TPU, XLA fallback elsewhere, reverse-
+            # scan bwd with in-kernel gate recompute (ops/gru_ar_vjp.py).
+            # A do_prob=0 training config still needs the VJP, so route by
+            # `do`, not by mask presence, with an all-ones mask when off.
             # ``differentiable=True`` forces this path for grad-needing
             # callers without dropout (HMC/NUTS log-joints, infer/logjoint).
             from ..ops.gru_ar_vjp import gru_ar_fused

@@ -7,19 +7,24 @@ kernel had no gradient.  This module closes that: ``gru_ar_fused`` is a
 ``jax.custom_vjp`` whose
 
   * forward runs the Pallas kernel (VMEM-resident weights, one grid step per
-    frame) and saves the hidden-state sequence ``h_seq`` as the residual;
-  * backward recomputes all gate activations IN BULK (the saved h/y sequences
-    make ``gx_t``/``gh_t`` data-parallel over time — two big MXU matmuls
-    instead of T small ones), then runs a reverse-time cotangent scan
-    carrying only the inherently-sequential cotangents (dh through the
-    recurrence, dy through the AR feedback) — a fused Pallas kernel on TPU
-    (ops/pallas_gru.pallas_gru_ar_bwd, weights VMEM-resident), lax.scan
-    elsewhere — and finally forms all weight gradients as bulk matmuls over
-    the emitted per-step gate cotangents.
+    frame) and saves the hidden-state sequence ``h_seq`` as the residual
+    (stored at the weight dtype — bf16 in the fast config);
+  * backward on TPU runs a reverse-time Pallas kernel
+    (ops/pallas_gru.pallas_gru_ar_bwd) that RECOMPUTES each step's gate
+    activations in VMEM from the streamed residuals (gates_x, y_prev,
+    h_prev) and carries only the inherently-sequential cotangents (dh
+    through the recurrence, dy through the AR feedback) — the round-2
+    design materialized the recomputed gx/gh/r/z/n (six (B,T,{H,3H})
+    arrays) in HBM, which the step-trace showed was the train step's
+    dominant cost, ~4x this kernel's own traffic.  Off-TPU the backward
+    falls back to the bulk recompute + reverse ``lax.scan``.
+  * weight gradients form as bulk MXU matmuls (f32 accumulation) over the
+    emitted per-step gate cotangents.
 
 This is strictly better than autodiffing the XLA scan: autodiff keeps the
-(B,3H)x(3H,H) recompute matmuls inside the backward scan; here only the two
-unavoidable transposed-recurrence matmuls per step remain sequential.
+(B,3H)x(3H,H) recompute matmuls inside the backward scan AND re-streams the
+weights from HBM every step; here the weights are VMEM-resident and nothing
+but the residuals and cotangent sequences touches HBM.
 
 Gate math matches torch exactly (see ops/gru_scan.py).
 """
@@ -109,35 +114,43 @@ def _bwd(impl, res, cts):
     d_trj, d_yT, d_hT = cts
     hidden = w_hh.shape[1]
     f32 = jnp.float32
-    wy = w_ih_y.astype(f32)
-    whh = w_hh.astype(f32)
-    wout = w_out.astype(f32)
-
-    # ---- bulk recomputation of all gate activations (data-parallel in t) ----
-    y_prev = jnp.concatenate([y0[:, None], trj[:, :-1]], axis=1)   # (B,T,out)
-    h_prev = jnp.concatenate([h0[:, None], h_seq[:, :-1]], axis=1)  # (B,T,H)
-    gx = gates_x + y_prev @ wy.T                                    # (B,T,3H)
-    gh = h_prev @ whh.T + b_hh.astype(f32)
-    r = jax.nn.sigmoid(gx[..., :hidden] + gh[..., :hidden])
-    z = jax.nn.sigmoid(gx[..., hidden:2 * hidden]
-                       + gh[..., hidden:2 * hidden])
-    ghn = gh[..., 2 * hidden:]
-    n = jnp.tanh(gx[..., 2 * hidden:] + r * ghn)
-    o = h_seq * out_mask
 
     # ---- reverse-time scan: only the sequential cotangent carries ----
     use_pallas = impl == "pallas" or (impl == "auto"
                                       and jax.default_backend() == "tpu")
     if use_pallas:
-        # fused Pallas reverse scan: weights VMEM-resident across the whole
-        # reversed grid (the XLA scan re-streams the (3H, H) recurrence
-        # weights from HBM every step — measured 3.6x fwd time vs the ~2x
-        # the matmul structure admits)
+        # fused Pallas reverse scan with IN-KERNEL gate recompute: weights
+        # stay VMEM-resident across the whole reversed grid AND the
+        # recomputed activations (gx/gh/r/z/n — six (B,T,{H,3H}) arrays in
+        # the round-2 bulk design) never touch HBM; streams ride at the
+        # weight dtype (bf16 in the fast config).
+        y_prev = jnp.concatenate(
+            [y0[:, None], trj[:, :-1]], axis=1).astype(h_seq.dtype)
+        h_prev = jnp.concatenate(
+            [h0[:, None].astype(h_seq.dtype), h_seq[:, :-1]], axis=1)
         from .pallas_gru import pallas_gru_ar_bwd
         dgx, dgh, dy_seq, dh0, dy0 = pallas_gru_ar_bwd(
-            wout, whh, wy, d_trj, h_prev, n, z, r, ghn, out_mask,
-            d_hT, d_yT)
+            w_out, w_hh, w_ih_y, b_hh, d_trj, gates_x, y_prev, h_prev,
+            out_mask, d_hT, d_yT)
+        o = h_seq * out_mask.astype(h_seq.dtype)
+        wout = w_out.astype(f32)
     else:
+        wy = w_ih_y.astype(f32)
+        whh = w_hh.astype(f32)
+        wout = w_out.astype(f32)
+
+        # ---- bulk recomputation of gate activations (data-parallel in t) ----
+        y_prev = jnp.concatenate([y0[:, None], trj[:, :-1]], axis=1)  # (B,T,out)
+        h_prev = jnp.concatenate([h0[:, None],
+                                  h_seq[:, :-1].astype(f32)], axis=1)  # (B,T,H)
+        gx = gates_x.astype(f32) + y_prev @ wy.T                       # (B,T,3H)
+        gh = h_prev @ whh.T + b_hh.astype(f32)
+        r = jax.nn.sigmoid(gx[..., :hidden] + gh[..., :hidden])
+        z = jax.nn.sigmoid(gx[..., hidden:2 * hidden]
+                           + gh[..., hidden:2 * hidden])
+        ghn = gh[..., 2 * hidden:]
+        n = jnp.tanh(gx[..., 2 * hidden:] + r * ghn)
+        o = h_seq.astype(f32) * out_mask
         def step(carry, x_t):
             dh, dy = carry
             d_trj_t, h_prev_t, n_t, z_t, r_t, ghn_t, mask_t = x_t
@@ -167,10 +180,14 @@ def _bwd(impl, res, cts):
         dy_seq = tm(dy_seq_t)     # (B,T,out)
 
     # ---- weight gradients: bulk matmuls over (B*T) ----
-    d_w_ih_y = jnp.einsum("btg,bto->go", dgx, y_prev).astype(w_ih_y.dtype)
-    d_w_hh = jnp.einsum("btg,bth->gh", dgh, h_prev).astype(w_hh.dtype)
-    d_b_hh = jnp.sum(dgh, axis=(0, 1)).astype(b_hh.dtype)
-    d_w_out = jnp.einsum("bto,bth->oh", dy_seq, o).astype(w_out.dtype)
+    # Operands may be bf16 (fast config streams) — accumulate in f32 on the
+    # MXU so only the operands, never the reductions, are rounded.
+    ein = lambda eq, a, b: jnp.einsum(eq, a, b,
+                                      preferred_element_type=f32)
+    d_w_ih_y = ein("btg,bto->go", dgx, y_prev).astype(w_ih_y.dtype)
+    d_w_hh = ein("btg,bth->gh", dgh, h_prev).astype(w_hh.dtype)
+    d_b_hh = jnp.sum(dgh.astype(f32), axis=(0, 1)).astype(b_hh.dtype)
+    d_w_out = ein("bto,bth->oh", dy_seq, o).astype(w_out.dtype)
     d_b_out = jnp.sum(dy_seq, axis=(0, 1)).astype(b_out.dtype)
     d_gates_x = dgx.astype(gates_x.dtype)
     d_mask = ((dy_seq @ wout) * h_seq).astype(out_mask.dtype)

@@ -45,8 +45,8 @@ def _kernel(gx_ref, wy_ref, whh_ref, bhh_ref, wout_ref, bout_ref,
     # Activations cast to the weight dtype so bf16 weights get native-bf16 MXU
     # passes (f32 accumulation via preferred_element_type).
     wdt = whh_ref.dtype
-    gx = gx_ref[0] + jnp.dot(y.astype(wdt), wy_ref[:],
-                             preferred_element_type=jnp.float32)
+    gx = gx_ref[0].astype(jnp.float32) + jnp.dot(
+        y.astype(wdt), wy_ref[:], preferred_element_type=jnp.float32)
     gh = jnp.dot(h.astype(wdt), whh_ref[:],
                  preferred_element_type=jnp.float32) + bhh_ref[:]
     r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
@@ -83,20 +83,20 @@ def _kernel_train(gx_ref, wy_ref, whh_ref, bhh_ref, wout_ref, bout_ref,
     h = h_s[:]
     y = y_s[:]
     wdt = whh_ref.dtype
-    gx = gx_ref[0] + jnp.dot(y.astype(wdt), wy_ref[:],
-                             preferred_element_type=jnp.float32)
+    gx = gx_ref[0].astype(jnp.float32) + jnp.dot(
+        y.astype(wdt), wy_ref[:], preferred_element_type=jnp.float32)
     gh = jnp.dot(h.astype(wdt), whh_ref[:],
                  preferred_element_type=jnp.float32) + bhh_ref[:]
     r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
     z = jax.nn.sigmoid(gx[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
     n = jnp.tanh(gx[:, 2 * hidden:] + r * gh[:, 2 * hidden:])
     h_new = (1.0 - z) * n + z * h
-    o = h_new * mask_ref[0]
+    o = h_new * mask_ref[0].astype(jnp.float32)
     y_new = jnp.dot(o.astype(wdt), wout_ref[:],
                     preferred_element_type=jnp.float32) + bout_ref[:]
 
     trj_ref[0] = y_new
-    hseq_ref[0] = h_new
+    hseq_ref[0] = h_new.astype(hseq_ref.dtype)
     h_s[:] = h_new
     y_s[:] = y_new
 
@@ -129,8 +129,13 @@ def pallas_gru_ar_train(
     wout = out_proj["w"].T.astype(weight_dtype)
     bout = out_proj["b"][None].astype(jnp.float32)
 
-    gates_x_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)
-    mask_t = jnp.swapaxes(out_mask, 0, 1).astype(jnp.float32)
+    # streams ride at the weight dtype (exact upcast in-kernel: bf16 inputs
+    # ARE bf16-precise already, so bf16 streaming halves HBM traffic without
+    # changing a single forward bit); the h_seq residual is stored at the
+    # same dtype for the backward's in-kernel recompute
+    sdt = jnp.dtype(weight_dtype)
+    gates_x_t = jnp.swapaxes(gates_x, 0, 1).astype(sdt)
+    mask_t = jnp.swapaxes(out_mask, 0, 1).astype(sdt)
 
     grid_spec = pl.GridSpec(
         grid=(T,),
@@ -181,13 +186,14 @@ def pallas_gru_ar_train(
             jax.ShapeDtypeStruct((T, B, out_dim), jnp.float32),
             jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
             jax.ShapeDtypeStruct((B, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, hidden), sdt),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * (hidden * 3 * hidden + out_dim * 3 * hidden
                                + hidden * out_dim),
-            bytes_accessed=T * B * (threeH + out_dim + 2 * hidden) * 4
-            + (hidden + out_dim) * threeH * jnp.dtype(weight_dtype).itemsize,
+            bytes_accessed=T * B * (threeH + 2 * hidden) * sdt.itemsize
+            + T * B * out_dim * 4
+            + (hidden + out_dim) * threeH * sdt.itemsize,
             transcendentals=3 * T * B * hidden,
         ),
     )(gates_x_t, wy, whh, bhh, wout, bout,
@@ -196,14 +202,22 @@ def pallas_gru_ar_train(
             jnp.swapaxes(hseq_t, 0, 1))
 
 
-def _kernel_bwd(dtrj_ref, hprev_ref, n_ref, z_ref, r_ref, ghn_ref, mask_ref,
-                wout_ref, whh_ref, wy_ref, dhT_ref, dyT_ref,
+def _kernel_bwd(dtrj_ref, gx_in_ref, yprev_ref, hprev_ref, mask_ref,
+                wout_ref, whh_ref, whh_t_ref, wy_ref, wy_t_ref, bhh_ref,
+                dhT_ref, dyT_ref,
                 dgx_ref, dgh_ref, dytot_ref, dh0_ref, dy0_ref, dh_s, dy_s,
-                *, T: int):
-    """Reverse-time cotangent scan of the AR-GRU (see ops/gru_ar_vjp._bwd):
-    only the two transposed-recurrence matmuls are sequential; weights stay
-    VMEM-resident across the whole reversed grid (the XLA scan re-streams
-    the (3H, H) recurrence weights from HBM every step)."""
+                *, hidden: int, T: int):
+    """Reverse-time cotangent scan of the AR-GRU (see ops/gru_ar_vjp._bwd)
+    with IN-KERNEL gate recomputation: rather than materializing the
+    recomputed activations (gx, gh, r, z, n — six (B,T,{H,3H}) arrays) in
+    HBM and streaming them back in (the round-2 design; ~4x this kernel's
+    HBM traffic), each reversed step recomputes them in VMEM from the saved
+    forward residuals (gates_x, y_prev, h_prev).  The recompute matmuls hit
+    the MXU on VMEM-resident weights, so the trade is two extra per-step
+    matmuls against hundreds of MB of HBM round-trips per call.  Gate values
+    match the forward bit-exactly: the recompute consumes the same operands
+    (h_prev at the streamed dtype, the hoisted input gates) the forward
+    kernel consumed."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -211,14 +225,24 @@ def _kernel_bwd(dtrj_ref, hprev_ref, n_ref, z_ref, r_ref, ghn_ref, mask_ref,
         dh_s[:] = dhT_ref[:]
         dy_s[:] = dyT_ref[:]
 
+    wdt = whh_ref.dtype
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    # ---- recompute this step's gates (bulk-free; matches fwd kernel) ----
+    gx = gx_in_ref[0].astype(jnp.float32) + jnp.dot(
+        yprev_ref[0].astype(wdt), wy_t_ref[:],
+        preferred_element_type=jnp.float32)
+    gh = jnp.dot(hprev_ref[0].astype(wdt), whh_t_ref[:],
+                 preferred_element_type=jnp.float32) + bhh_ref[:]
+    r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+    z = jax.nn.sigmoid(gx[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
+    ghn = gh[:, 2 * hidden:]
+    n = jnp.tanh(gx[:, 2 * hidden:] + r * ghn)
+
+    # ---- cotangent algebra ----
     dy_tot = dtrj_ref[0] + dy_s[:]
-    do = jnp.dot(dy_tot, wout_ref[:], preferred_element_type=jnp.float32)
-    dh_tot = dh_s[:] + do * mask_ref[0]
-    h_prev = hprev_ref[0]
-    n = n_ref[0]
-    z = z_ref[0]
-    r = r_ref[0]
-    ghn = ghn_ref[0]
+    do = jnp.dot(dy_tot.astype(wdt), wout_ref[:],
+                 preferred_element_type=jnp.float32)
+    dh_tot = dh_s[:] + do * mask_ref[0].astype(jnp.float32)
     dz = dh_tot * (h_prev - n)
     dn = dh_tot * (1.0 - z)
     dgn = dn * (1.0 - n * n)
@@ -228,12 +252,13 @@ def _kernel_bwd(dtrj_ref, hprev_ref, n_ref, z_ref, r_ref, ghn_ref, mask_ref,
     dgz = dz * z * (1.0 - z)
     dgx_t = jnp.concatenate([dgr, dgz, dgn], axis=-1)
     dgh_t = jnp.concatenate([dgr, dgz, dghn], axis=-1)
-    dh_prev = dh_tot * z + jnp.dot(dgh_t, whh_ref[:],
+    dh_prev = dh_tot * z + jnp.dot(dgh_t.astype(wdt), whh_ref[:],
                                    preferred_element_type=jnp.float32)
-    dy_prev = jnp.dot(dgx_t, wy_ref[:], preferred_element_type=jnp.float32)
+    dy_prev = jnp.dot(dgx_t.astype(wdt), wy_ref[:],
+                      preferred_element_type=jnp.float32)
 
-    dgx_ref[0] = dgx_t
-    dgh_ref[0] = dgh_t
+    dgx_ref[0] = dgx_t.astype(dgx_ref.dtype)
+    dgh_ref[0] = dgh_t.astype(dgh_ref.dtype)
     dytot_ref[0] = dy_tot
     dh_s[:] = dh_prev
     dy_s[:] = dy_prev
@@ -245,22 +270,30 @@ def _kernel_bwd(dtrj_ref, hprev_ref, n_ref, z_ref, r_ref, ghn_ref, mask_ref,
 
 
 def pallas_gru_ar_bwd(
-    wout: jnp.ndarray,      # (out, H) f32
-    whh: jnp.ndarray,       # (3H, H) f32
-    wy: jnp.ndarray,        # (3H, out) f32
+    wout: jnp.ndarray,      # (out, H)   weight dtype (bf16 in the fast config)
+    whh: jnp.ndarray,       # (3H, H)
+    wy: jnp.ndarray,        # (3H, out)
+    bhh: jnp.ndarray,       # (3H,)
     d_trj: jnp.ndarray,     # (B, T, out) output cotangents
-    h_prev: jnp.ndarray,    # (B, T, H)
-    n: jnp.ndarray, z: jnp.ndarray, r: jnp.ndarray,  # (B, T, H) gates
-    ghn: jnp.ndarray,       # (B, T, H) hidden-side candidate pre-activation
+    gates_x: jnp.ndarray,   # (B, T, 3H) hoisted input-side gates (fwd residual)
+    y_prev: jnp.ndarray,    # (B, T, out) AR feedback fed at each step
+    h_prev: jnp.ndarray,    # (B, T, H)  hidden state entering each step
     out_mask: jnp.ndarray,  # (B, T, H)
     d_hT: jnp.ndarray,      # (B, H)
     d_yT: jnp.ndarray,      # (B, out)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused reverse scan.  Returns (dgx (B,T,3H), dgh (B,T,3H),
-    dy_tot (B,T,out), dh0 (B,H), dy0 (B,out))."""
+    """Fused reverse scan with in-kernel gate recompute.  Returns
+    (dgx (B,T,3H), dgh (B,T,3H), dy_tot (B,T,out), dh0 (B,H), dy0 (B,out)).
+
+    Streams (gates_x / y_prev / h_prev / out_mask in; dgx / dgh out) ride at
+    the WEIGHT dtype — bf16 halves this kernel's HBM traffic and feeds the
+    downstream weight-gradient einsums MXU-native operands; the sequential
+    cotangent carries (dh, dy) and all gate algebra stay f32 in VMEM."""
     B, T, H = h_prev.shape
     out_dim = d_trj.shape[-1]
     threeH = 3 * H
+    wdt = whh.dtype
+    sdt = jnp.dtype(wdt)    # stream dtype follows the weight dtype
 
     rev = lambda t: (T - 1 - t, 0, 0)
     fixed = lambda t: (0, 0)
@@ -275,9 +308,16 @@ def pallas_gru_ar_bwd(
         grid=(T,),
         in_specs=[
             tblock(out_dim),                     # d_trj
-            tblock(H), tblock(H), tblock(H), tblock(H), tblock(H),  # h_prev,n,z,r,ghn
+            tblock(threeH),                      # gates_x
+            tblock(out_dim),                     # y_prev
+            tblock(H),                           # h_prev
             tblock(H),                           # out_mask
-            wblock(out_dim, H), wblock(threeH, H), wblock(threeH, out_dim),
+            wblock(out_dim, H),                  # wout
+            wblock(threeH, H),                   # whh   (dgh @ whh)
+            wblock(H, threeH),                   # whh.T (recompute gh)
+            wblock(threeH, out_dim),             # wy    (dgx @ wy)
+            wblock(out_dim, threeH),             # wy.T  (recompute gx)
+            wblock(1, threeH),                   # bhh
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),       # d_hT
             pl.BlockSpec((B, out_dim), fixed, memory_space=pltpu.VMEM),  # d_yT
         ],
@@ -293,28 +333,31 @@ def pallas_gru_ar_bwd(
             pltpu.VMEM((B, out_dim), jnp.float32),
         ],
     )
-    tm = lambda a: jnp.swapaxes(a, 0, 1).astype(jnp.float32)
-    kernel = functools.partial(_kernel_bwd, T=T)
+    tm = lambda a, dt: jnp.swapaxes(a, 0, 1).astype(dt)
+    kernel = functools.partial(_kernel_bwd, hidden=H, T=T)
     dgx_t, dgh_t, dytot_t, dh0, dy0 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, threeH), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, threeH), sdt),
+            jax.ShapeDtypeStruct((T, B, threeH), sdt),
             jax.ShapeDtypeStruct((T, B, out_dim), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * (out_dim * H + threeH * H + threeH * out_dim),
-            bytes_accessed=T * B * (7 * H + out_dim + 2 * threeH + out_dim) * 4,
-            transcendentals=0,
+            flops=2 * T * B * (out_dim * H + 2 * threeH * H
+                               + 2 * threeH * out_dim),
+            bytes_accessed=T * B * (2 * H + 2 * out_dim + 3 * threeH)
+            * sdt.itemsize + T * B * out_dim * 4,
+            transcendentals=3 * T * B * H,
         ),
-    )(tm(d_trj), tm(h_prev), tm(n), tm(z), tm(r), tm(ghn), tm(out_mask),
-      wout.astype(jnp.float32), whh.astype(jnp.float32),
-      wy.astype(jnp.float32), d_hT.astype(jnp.float32),
-      d_yT.astype(jnp.float32))
+    )(tm(d_trj, jnp.float32), tm(gates_x, sdt), tm(y_prev, sdt),
+      tm(h_prev, sdt), tm(out_mask, sdt),
+      wout.astype(wdt), whh.astype(wdt), whh.T.astype(wdt),
+      wy.astype(wdt), wy.T.astype(wdt), bhh[None].astype(jnp.float32),
+      d_hT.astype(jnp.float32), d_yT.astype(jnp.float32))
     sw = lambda a: jnp.swapaxes(a, 0, 1)
     return sw(dgx_t), sw(dgh_t), sw(dytot_t), dh0, dy0
 
@@ -343,7 +386,8 @@ def pallas_gru_ar(
     wout = out_proj["w"].T.astype(weight_dtype)                   # (H, out)
     bout = out_proj["b"][None].astype(jnp.float32)                # (1, out)
 
-    gates_x_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)   # (T, B, 3H)
+    # stream the hoisted gates at the weight dtype (exact upcast in-kernel)
+    gates_x_t = jnp.swapaxes(gates_x, 0, 1).astype(weight_dtype)  # (T, B, 3H)
 
     grid_spec = pl.GridSpec(
         grid=(T,),
@@ -393,7 +437,8 @@ def pallas_gru_ar(
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * (hidden * 3 * hidden + out_dim * 3 * hidden
                                + hidden * out_dim),
-            bytes_accessed=T * B * (threeH + out_dim) * 4
+            bytes_accessed=T * B * threeH * jnp.dtype(weight_dtype).itemsize
+            + T * B * out_dim * 4
             + (hidden + out_dim) * threeH * jnp.dtype(weight_dtype).itemsize,
             transcendentals=3 * T * B * hidden,
         ),

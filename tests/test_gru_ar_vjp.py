@@ -123,3 +123,39 @@ def test_gradients_match_under_jit_and_longer_T():
         scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4 * scale, rtol=5e-4)
+
+
+def test_bf16_stream_gradients_track_f32_reference():
+    """The fast config streams the backward's residuals and gate cotangents
+    at bf16 (pallas_gru_ar_bwd docstring).  Quantify the rounding: grads of
+    the Pallas path (interpret mode) with bf16 weights must track the f32
+    XLA reference in direction (cosine > 0.999) and scale (rel L2 < 3e-2)
+    for every parameter leaf."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    gru, out, conv_seq, y0, h0, mask = _setup(B=2, T=16, hidden=16, seed=7)
+    conv_dim = conv_seq.shape[-1]
+    gx = precompute_input_gates(gru, conv_seq)
+
+    def loss(args, impl, dt):
+        wy, whh, bhh, w, b = [a.astype(dt) for a in args]
+        trj, y_T, h_T = gru_ar_fused(wy, whh, bhh, w, b,
+                                     gx.astype(dt), y0, h0,
+                                     mask.astype(dt), impl)
+        return jnp.sum(trj ** 2) + jnp.sum(h_T ** 2)
+
+    args = (gru["w_ih"][:, conv_dim:], gru["w_hh"], gru["b_hh"],
+            out["w"], out["b"])
+    g_ref = jax.grad(lambda a: loss(a, "xla", jnp.float32))(args)
+    with pltpu.force_tpu_interpret_mode():
+        g_bf16 = jax.grad(lambda a: loss(a, "pallas", jnp.bfloat16))(args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_bf16),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        assert denom > 0
+        cos = float(a @ b) / denom
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        assert cos > 0.999, f"cosine {cos}"
+        assert rel < 3e-2, f"rel L2 {rel}"
