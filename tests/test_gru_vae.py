@@ -279,3 +279,25 @@ def test_two_layer_gru_train_step():
                               jnp.zeros((B, cfg.lat_dim * 2)),
                               use_pallas=True)
     assert out.shape == (B, 10, cfg.lat_dim * 2)
+
+
+def test_bernoulli_rbg_dropout_draw():
+    """The TPU dropout fast path (_bernoulli_rbg) must be a deterministic,
+    key-sensitive Bernoulli(p) draw — same contract as jax.random.bernoulli,
+    different (hardware RngBitGenerator) bit stream."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cyclevae_tpu.models.gru_vae import _bernoulli_rbg
+
+    k = jax.random.PRNGKey(42)
+    m1 = np.asarray(_bernoulli_rbg(k, 0.5, (64, 80, 128)))
+    m2 = np.asarray(_bernoulli_rbg(k, 0.5, (64, 80, 128)))
+    m3 = np.asarray(_bernoulli_rbg(jax.random.PRNGKey(43), 0.5, (64, 80, 128)))
+    assert (m1 == m2).all(), "not deterministic in the key"
+    assert (m1 != m3).mean() > 0.4, "not key-sensitive"
+    assert abs(m1.mean() - 0.5) < 5e-3, f"marginal off: {m1.mean()}"
+    # works under jit (the train step draws masks inside the jitted segment)
+    mj = np.asarray(jax.jit(
+        lambda kk: _bernoulli_rbg(kk, 0.5, (64, 80, 128)))(k))
+    assert (mj == m1).all()
