@@ -174,6 +174,7 @@ def main():
              CycleVAEConfig(compute_dtype="bfloat16"), 64),
             ("bf16_pallas_bsu64", fast, 64),
             ("bf16_pallas_bsu128", fast, 128),
+            ("bf16_pallas_bsu256", fast, 256),
         ]
 
     results = {}
