@@ -95,7 +95,7 @@ def get_lib() -> ctypes.CDLL:
         lib.cvdsp_b2mc.argtypes = [_d, c_int, c_int, c_dbl, _d]
         lib.cvdsp_mlsadf.restype = None
         lib.cvdsp_mlsadf.argtypes = [_d, c_int, _d, c_int, c_int, c_dbl, c_int, _d]
-        lib.cvdsp_mlpg.restype = None
+        lib.cvdsp_mlpg.restype = c_int
         lib.cvdsp_mlpg.argtypes = [_d, _d, c_int, c_int, _d, _i32, c_int, _d]
         lib.cvdsp_calc_mcd.restype = c_dbl
         lib.cvdsp_calc_mcd.argtypes = [_d, _d, c_int, c_int, _d]

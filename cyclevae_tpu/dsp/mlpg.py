@@ -54,7 +54,12 @@ def mlpg(mean: np.ndarray, var: np.ndarray,
     taps = as_f64(np.concatenate([np.asarray(w, np.float64)
                                   for w in windows]))
     out = np.zeros((T, dim))
-    lib.cvdsp_mlpg(mean, var, T, dim, taps, lens, n_win, out)
+    rc = lib.cvdsp_mlpg(mean, var, T, dim, taps, lens, n_win, out)
+    if rc != 0:
+        raise ValueError(
+            "MLPG normal matrix is singular: some trajectory column has a "
+            "frame unobserved (var<=0) by every window — check the input "
+            "variances instead of consuming a garbage trajectory")
     return out
 
 

@@ -175,11 +175,11 @@ void cvdsp_mlsadf(const double* x, int n, const double* b, int n_frames,
 
 // mean/var: (T, n_win*dim) window-major; windows: concatenated odd-length
 // taps with lengths win_lens; out: (T, dim).  See mlpg.h.
-void cvdsp_mlpg(const double* mean, const double* var, int T, int dim,
-                const double* windows, const int32_t* win_lens, int n_win,
-                double* out) {
+int cvdsp_mlpg(const double* mean, const double* var, int T, int dim,
+               const double* windows, const int32_t* win_lens, int n_win,
+               double* out) {
   std::vector<int> lens(win_lens, win_lens + n_win);
-  mlpg_solve(mean, var, T, dim, windows, lens.data(), n_win, out);
+  return mlpg_solve(mean, var, T, dim, windows, lens.data(), n_win, out);
 }
 
 // ---------------- DTW / MCD ----------------

@@ -11,10 +11,14 @@ namespace {
 
 // Banded SPD solve via Cholesky.  R is stored as (T, L+1): R_band[t][j]
 // holds R[t][t+j] for j in [0, L] (upper band, symmetric).  Solves
-// R x = r in place: r becomes x.  O(T * L^2).
-void band_cholesky_solve(std::vector<double>& R_band, std::vector<double>& r,
-                         int T, int L) {
+// R x = r in place: r becomes x.  O(T * L^2).  Returns 0 on success, -1 if
+// a pivot degenerates (a frame unobserved by every window makes the normal
+// matrix singular — fail loudly instead of emitting garbage trajectories).
+int band_cholesky_solve(std::vector<double>& R_band, std::vector<double>& r,
+                        int T, int L, double diag_scale) {
   const int W = L + 1;
+  // degenerate-pivot threshold relative to the matrix magnitude
+  const double pivot_min = diag_scale * 1e-12;
   // factor: R = U' U with U upper-banded, stored back into R_band
   for (int t = 0; t < T; ++t) {
     double d = R_band[t * W];
@@ -23,7 +27,8 @@ void band_cholesky_solve(std::vector<double>& R_band, std::vector<double>& r,
       const double u = R_band[k * W + (t - k)];
       d -= u * u;
     }
-    d = std::sqrt(std::max(d, 1e-300));
+    if (!(d > pivot_min)) return -1;
+    d = std::sqrt(d);
     R_band[t * W] = d;
     const int jmax = std::min(L, T - 1 - t);
     for (int j = 1; j <= jmax; ++j) {
@@ -48,13 +53,14 @@ void band_cholesky_solve(std::vector<double>& R_band, std::vector<double>& r,
     for (int j = 1; j <= jmax; ++j) s -= R_band[t * W + j] * r[t + j];
     r[t] = s / R_band[t * W];
   }
+  return 0;
 }
 
 }  // namespace
 
-void mlpg_solve(const double* mean, const double* var, int T, int dim,
-                const double* windows, const int* win_lens, int n_win,
-                double* out) {
+int mlpg_solve(const double* mean, const double* var, int T, int dim,
+               const double* windows, const int* win_lens, int n_win,
+               double* out) {
   // normal-equation band half-width: rows of W'PW couple columns t+o1 and
   // t+o2 for taps o1, o2 in [-l, l], so offsets reach 2l = win_len - 1
   int L = 0;
@@ -99,9 +105,16 @@ void mlpg_solve(const double* mean, const double* var, int T, int dim,
       wptr += len;
     }
 
-    band_cholesky_solve(R_band, r, T, L);
+    // matrix magnitude for the relative degenerate-pivot test
+    double diag_max = 0.0;
+    for (int t = 0; t < T; ++t)
+      diag_max = std::max(diag_max, R_band[(size_t)t * W]);
+    if (diag_max == 0.0) return -1;  // every frame unobserved in column d
+
+    if (band_cholesky_solve(R_band, r, T, L, diag_max) != 0) return -1;
     for (int t = 0; t < T; ++t) out[(size_t)t * dim + d] = r[t];
   }
+  return 0;
 }
 
 }  // namespace cvdsp

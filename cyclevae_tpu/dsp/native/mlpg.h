@@ -23,8 +23,9 @@ namespace cvdsp {
 // (columns [k*dim, (k+1)*dim) hold window k's statistics — the layout the
 // HTS/mlpg_c tools use).  windows: concatenated odd-length window taps;
 // win_lens[k] = taps of window k (center tap applies to frame t).
-// out: (T, dim) static trajectory.
-void mlpg_solve(const double* mean, const double* var, int T, int dim,
+// out: (T, dim) static trajectory.  Returns 0 on success, -1 if the normal
+// matrix is singular (some frame unobserved by every window).
+int mlpg_solve(const double* mean, const double* var, int T, int dim,
                 const double* windows, const int* win_lens, int n_win,
                 double* out);
 

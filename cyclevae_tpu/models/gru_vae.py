@@ -22,6 +22,7 @@ Key reference semantics preserved:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -120,8 +121,18 @@ def _bernoulli_fast(key: jax.Array, p: float, shape) -> jnp.ndarray:
     path) from the threefry key: still a pure, reproducible function of the
     incoming key, same Bernoulli(p) marginal, ~10x cheaper to draw.
     Off-TPU keeps plain ``jax.random.bernoulli`` (test determinism there is
-    cross-checked against recorded trajectories)."""
-    if jax.default_backend() != "tpu":
+    cross-checked against recorded trajectories).
+
+    Documented trade (advisor r3): because the backend is branched at trace
+    time, the same seed draws DIFFERENT masks on TPU vs CPU, so a TPU
+    training trajectory cannot be bit-reproduced off-TPU by default.  Set
+    ``CYCLEVAE_DROPOUT_RNG=threefry`` to force the portable threefry path on
+    every backend when bit-reproduction across platforms matters more than
+    the ~6%-of-step mask cost (or ``=rbg`` to force the hardware path)."""
+    forced = os.environ.get("CYCLEVAE_DROPOUT_RNG", "")
+    if forced == "threefry":
+        return jax.random.bernoulli(key, p, shape)
+    if forced != "rbg" and jax.default_backend() != "tpu":
         return jax.random.bernoulli(key, p, shape)
     return _bernoulli_rbg(key, p, shape)
 

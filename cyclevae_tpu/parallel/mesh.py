@@ -18,6 +18,8 @@ the same code then spans hosts (each host feeds its local shard).
 
 from __future__ import annotations
 
+import os
+import zlib
 from typing import Dict, Optional
 
 import jax
@@ -39,15 +41,39 @@ def _put_global(value, sharding: NamedSharding):
 
     Single-process (all mesh devices addressable): plain ``device_put``.
     Multi-process: every process holds the SAME host value (the recipe's
-    data loading is deterministic per epoch), so each contributes its local
-    shards via ``make_array_from_callback`` — ``device_put`` cannot target
-    non-addressable devices.
+    data loading is deterministic per epoch — the loader seeds numpy from
+    the checkpointed RNG state identically on every process), so each
+    contributes its local shards via ``make_array_from_callback`` —
+    ``device_put`` cannot target non-addressable devices.
+
+    The same-host-value invariant is load-bearing: a per-process RNG or
+    file-ordering divergence would silently assemble an inconsistent global
+    array.  Set ``CYCLEVAE_VERIFY_GLOBAL=1`` to cross-check a CRC of the
+    host bytes across processes on every placement (costs one tiny
+    all-gather; meant for bring-up of new loaders/clusters, not steady
+    state).
     """
     if sharding.is_fully_addressable:
         return jax.device_put(value, sharding)
     host = np.asarray(value)
+    if os.environ.get("CYCLEVAE_VERIFY_GLOBAL") == "1":
+        _verify_same_across_processes(host)
     return jax.make_array_from_callback(host.shape, sharding,
                                         lambda idx: host[idx])
+
+
+def _verify_same_across_processes(host: np.ndarray) -> None:
+    """Assert every process holds byte-identical host data (CRC all-gather)."""
+    from jax.experimental import multihost_utils
+
+    digest = np.uint32(zlib.crc32(np.ascontiguousarray(host).tobytes()))
+    digests = multihost_utils.process_allgather(digest)
+    if not (digests == digests[0]).all():
+        raise AssertionError(
+            "global-array invariant violated: host value differs across "
+            f"processes (crc32 per process: {digests.tolist()}) — the "
+            "loader produced divergent data; check per-process RNG seeding "
+            "and file ordering")
 
 
 def replicate(mesh: Mesh, tree):

@@ -77,11 +77,17 @@ class Codec:
                     else {"clamp_vae": True})
         sample_fn = (sampling_vae_laplace_batch if laplace
                      else sampling_vae_batch)
+        # ride the model's own fast path: a bf16+Pallas-trained flagship
+        # decodes on the fused Pallas kernels, not the f32 XLA scan
+        # (inference branch of gru_rnn_apply — no grad, fastest variant;
+        # reference path being beaten: decode…py:309-323)
+        use_pallas = getattr(cfg, "use_pallas", False)
 
         def encode(params, feat):
             lat, _, _ = gru_rnn_apply(params.encoder, cfg.enc_cfg, feat[None],
                                       jnp.zeros((1, cfg.lat_dim * 2)),
-                                      lat_dim=cfg.lat_dim, **clamp_kw)
+                                      lat_dim=cfg.lat_dim,
+                                      use_pallas=use_pallas, **clamp_kw)
             return lat[0]
 
         def latent_mean(params, key, lat):
@@ -96,7 +102,7 @@ class Codec:
             s = params.decoder["scale_out"]
             y0 = ((0.0 - s["mean"]) / s["scale"])[None]
             out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z[None],
-                                      y0)
+                                      y0, use_pallas=use_pallas)
             return out[0]
 
         def encode_mean_b(params, key, feats):
@@ -104,7 +110,7 @@ class Codec:
             lat, _, _ = gru_rnn_apply(
                 params.encoder, cfg.enc_cfg, feats,
                 jnp.zeros((feats.shape[0], cfg.lat_dim * 2)),
-                lat_dim=cfg.lat_dim, **clamp_kw)
+                lat_dim=cfg.lat_dim, use_pallas=use_pallas, **clamp_kw)
             draws = sample_fn(
                 key, jnp.broadcast_to(lat, (n_smpl_dec,) + lat.shape),
                 cfg.lat_dim)
@@ -115,7 +121,8 @@ class Codec:
             s = params.decoder["scale_out"]
             y0 = jnp.broadcast_to((0.0 - s["mean"]) / s["scale"],
                                   (code_z.shape[0], cfg.out_dim))
-            out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0)
+            out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg, code_z, y0,
+                                      use_pallas=use_pallas)
             return out
 
         self._encode = jax.jit(encode)

@@ -38,7 +38,8 @@ def _decode_batch(params: CycleVAEParams, cfg: CycleVAEConfig,
     y0 = jnp.broadcast_to((0.0 - s["mean"]) / s["scale"], (C, cfg.out_dim))
     code_b = jnp.broadcast_to(code, (C,) + code.shape)
     out, _, _ = gru_rnn_apply(params.decoder, cfg.dec_cfg,
-                              jnp.concatenate([code_b, z], axis=-1), y0)
+                              jnp.concatenate([code_b, z], axis=-1), y0,
+                              use_pallas=getattr(cfg, "use_pallas", False))
     return out
 
 

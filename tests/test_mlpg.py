@@ -94,3 +94,16 @@ def test_unobserved_rows_dropped():
     var = np.concatenate([np.ones((T, dim)), np.zeros((T, dim))], axis=1)
     out = mlpg(mean, var, windows=DEFAULT_WINDOWS)
     np.testing.assert_allclose(out, mean[:, :dim], atol=1e-10)
+
+
+def test_singular_normal_matrix_fails_loudly():
+    """A column with every frame unobserved (var<=0 in all windows) makes
+    the normal matrix singular; the solver must raise, not emit garbage
+    (advisor r3: mlpg.cc degenerate-pivot clamp)."""
+    import pytest
+
+    T, dim = 9, 1
+    mean = np.zeros((T, 2 * dim))
+    var = np.zeros((T, 2 * dim))  # all unobserved
+    with pytest.raises(ValueError, match="singular"):
+        mlpg(mean, var, windows=DEFAULT_WINDOWS)

@@ -34,6 +34,8 @@ def test_two_process_sharded_train_step():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["CYCLEVAE_PLATFORM"] = "cpu"
     env["CYCLEVAE_NUM_PROCESSES"] = "2"
+    # exercise the cross-process same-host-value CRC check (parallel/mesh.py)
+    env["CYCLEVAE_VERIFY_GLOBAL"] = "1"
     env["CYCLEVAE_COORDINATOR"] = "127.0.0.1"
     env["CYCLEVAE_PORT"] = str(port)
 

@@ -325,3 +325,38 @@ def test_decode_interpolated_shapes():
     cv = decode_interpolated(codec, jax.random.PRNGKey(1), feat, [0.3, 0.7])
     assert cv.shape == (T, cfg.out_dim)
     assert np.isfinite(cv).all()
+
+
+def test_codec_pallas_routing_parity():
+    """Stage-5/6 decode rides the model's fast path: a Codec built from a
+    use_pallas config must produce the same outputs as the XLA-scan Codec
+    (on CPU the Pallas route falls back to the bit-identical XLA kernel via
+    the custom-VJP wrapper, so this locks the routing plumbing; the TPU A/B
+    timing lives in tools/bench_decode_fusion.py)."""
+    import jax
+    import numpy as np
+
+    from cyclevae_tpu.pipeline.decode import Codec
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+
+    rng = np.random.default_rng(7)
+    feat = rng.normal(size=(53, 54)).astype(np.float32)
+    params = None
+    outs = {}
+    for pallas in (False, True):
+        cfg = CycleVAEConfig(hidden_units=16, lat_dim=4, n_spk=2,
+                             do_prob=0.0, use_pallas=pallas)
+        if params is None:
+            params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                                   np.zeros(54, np.float32),
+                                   np.ones(54, np.float32))
+        codec = Codec(params, cfg, n_smpl_dec=3)
+        lat = codec.encode(feat)
+        code = np.tile(np.array([1.0, 0.0], np.float32), (len(feat), 1))
+        z = codec.latent_mean(jax.random.PRNGKey(1), lat)[:, :cfg.lat_dim]
+        cv = codec.decode(code, z)
+        lats, zs = codec.encode_mean(jax.random.PRNGKey(1), [feat, feat[:40]])
+        cvb = codec.decode_batch([(code, z), (code[:40], z[:40])])
+        outs[pallas] = (lat, cv, lats[1], cvb[1])
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)

@@ -37,11 +37,22 @@ def main():
     if "CYCLEVAE_NUM_PROCESSES" in os.environ:
         n = int(os.environ["CYCLEVAE_NUM_PROCESSES"])
         if n > 1:
+            if "CYCLEVAE_PROCESS_ID" not in os.environ:
+                raise SystemExit(
+                    "CYCLEVAE_NUM_PROCESSES=%d requires CYCLEVAE_PROCESS_ID "
+                    "(0..%d) to be set for each process; optional: "
+                    "CYCLEVAE_COORDINATOR (default 127.0.0.1), "
+                    "CYCLEVAE_PORT (default 8476)" % (n, n - 1))
+            pid = int(os.environ["CYCLEVAE_PROCESS_ID"])
+            if not 0 <= pid < n:
+                raise SystemExit(
+                    "CYCLEVAE_PROCESS_ID=%d out of range for "
+                    "CYCLEVAE_NUM_PROCESSES=%d" % (pid, n))
             coord = os.environ.get("CYCLEVAE_COORDINATOR", "127.0.0.1")
             kwargs = dict(
                 coordinator_address=f"{coord}:{os.environ.get('CYCLEVAE_PORT', '8476')}",
                 num_processes=n,
-                process_id=int(os.environ["CYCLEVAE_PROCESS_ID"]),
+                process_id=pid,
             )
     # Slurm convention -> jax.distributed
     elif "SLURM_JOB_NUM_NODES" in os.environ and "SLURM_PROCID" in os.environ:
