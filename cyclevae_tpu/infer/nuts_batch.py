@@ -251,15 +251,19 @@ def nuts_sample_batch(
     def sample_body(z, key):
         z, stats = nuts_kernel_batch(key, logjoint_batch, z, step_size,
                                      inv_mass, cfg)
-        return z, (z, stats["accept_stat"], stats["diverged"])
+        return z, (z, stats["accept_stat"], stats["diverged"],
+                   stats["n_leapfrog"])
 
-    z, (samples, acc, div) = jax.lax.scan(sample_body, z,
-                                          keys[cfg.n_warmup:-1])
+    z, (samples, acc, div, n_lf) = jax.lax.scan(sample_body, z,
+                                                keys[cfg.n_warmup:-1])
     info = {
         "accept_stat": jnp.mean(acc),
         "warmup_accept_stat": jnp.mean(warm_acc),
         "divergence_rate": jnp.mean(div.astype(jnp.float32)),
         "step_size": step_size,
         "inv_mass": inv_mass,
+        # mean LIVE leapfrogs per chain per transition (tree depth is
+        # data-dependent; benches use this to report grad-evals/s)
+        "mean_leapfrog": jnp.mean(n_lf),
     }
     return samples, info

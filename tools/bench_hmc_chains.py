@@ -54,8 +54,13 @@ def main():
     ap.add_argument("--chains", type=int, nargs="+",
                     default=[32, 64, 128, 256, 512])
     ap.add_argument("--n-leapfrog", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=24,
-                    help="timed HMC iterations per chain count")
+    ap.add_argument("--iters", type=int, default=48,
+                    help="timed HMC sampling iterations per chain count")
+    ap.add_argument("--warmup", type=int, default=48,
+                    help="dual-averaging warmup iterations (adapts step "
+                         "size to --target-accept so acceptance is "
+                         "comparable across chain counts; VERDICT r3 #5)")
+    ap.add_argument("--target-accept", type=float, default=0.9)
     ap.add_argument("--mode", choices=["f32", "fast", "both"], default="both",
                     help="decoder path: f32 XLA scan, bf16 fused Pallas "
                          "(custom-VJP grads), or sweep both")
@@ -100,7 +105,8 @@ def main():
     feats_d, code_d = jnp.asarray(feats), jnp.asarray(spk_code)
 
     hmc_cfg = HMCConfig(step_size=0.02, n_leapfrog=args.n_leapfrog,
-                        n_warmup=8, n_samples=args.iters, adapt_mass=True)
+                        n_warmup=args.warmup, n_samples=args.iters,
+                        target_accept=args.target_accept, adapt_mass=True)
     total_iters = hmc_cfg.n_warmup + hmc_cfg.n_samples
 
     from dataclasses import replace as dc_replace
@@ -123,10 +129,34 @@ def main():
             lj = make_utterance_logjoint_batched(params, cfg_m,
                                                  feats_d, code_d)
             samples, info = hmc_sample_batch(key, lj, z0, hmc_cfg)
-            # reduce the WHOLE stack on device: samples[-1] slicing of the
-            # scan-stacked output also trips the same MSA check here
-            return jnp.mean(samples), info["accept_prob"]
+            # reduce to a per-iteration-per-chain scalar trace for the host
+            # ESS estimate (full-axis means — samples[-1] slicing of the
+            # scan-stacked output trips the v5e MSA check here)
+            trace = jnp.mean(samples, axis=(2, 3))        # (S, C)
+            return trace, info["accept_prob"], info["step_size"]
         return run
+
+    def ess_fraction(trace: np.ndarray) -> float:
+        """Mean ESS/S over chains via the initial-positive-sequence
+        autocorrelation estimator (Geyer 1992) on a (S, C) scalar trace."""
+        S, C = trace.shape
+        fracs = []
+        for c in range(C):
+            x = trace[:, c] - trace[:, c].mean()
+            v = float(np.dot(x, x)) / S
+            if v <= 0:
+                fracs.append(1.0)
+                continue
+            acf = np.correlate(x, x, mode="full")[S - 1:] / (S * v)
+            s, k = 0.0, 1
+            while k + 1 < S:
+                pair = acf[k] + acf[k + 1]
+                if pair <= 0:
+                    break
+                s += pair
+                k += 2
+            fracs.append(1.0 / max(1.0, 1.0 + 2.0 * s))
+        return float(np.mean(fracs))
 
     sweeps = {}
     for mode, cfg_m in modes.items():
@@ -136,19 +166,26 @@ def main():
             z0 = jnp.asarray(
                 rng.normal(size=(C, T, ld)).astype(np.float32) * 0.1)
             key = jax.random.PRNGKey(C)
-            m, acc = run(params, key, z0)  # compile + first run
-            jax.block_until_ready(m)
+            tr, acc, ss = run(params, key, z0)  # compile + first run
+            jax.block_until_ready(tr)
             t0 = time.perf_counter()
-            m, acc = run(params, key, z0)
-            jax.block_until_ready(m)
+            tr, acc, ss = run(params, key, z0)
+            jax.block_until_ready(tr)
             dt = time.perf_counter() - t0
             per_iter = dt / total_iters
             sps = C / per_iter
+            ef = ess_fraction(np.asarray(tr))
+            grad_evals = C * 2 * args.n_leapfrog / per_iter
             rows.append({"chains": C, "iter_ms": per_iter * 1e3,
                          "samples_per_sec_per_chip": round(sps, 1),
-                         "accept": round(float(acc), 3)})
+                         "accept": round(float(acc), 3),
+                         "da_step_size": round(float(ss), 5),
+                         "ess_fraction": round(ef, 3),
+                         "ess_per_sec_per_chip": round(sps * ef, 1),
+                         "grad_evals_per_sec": round(grad_evals, 1)})
             print(f"[{mode}] C={C:4d}  {per_iter*1e3:8.2f} ms/iter  "
-                  f"{sps:10.1f} samples/s/chip  accept={float(acc):.3f}")
+                  f"{sps:10.1f} samples/s/chip  accept={float(acc):.3f}  "
+                  f"eps={float(ss):.4f}  ESS/s={sps*ef:.1f}")
         sweeps[mode] = rows
 
     all_rows = [r for rows in sweeps.values() for r in rows]
@@ -157,6 +194,7 @@ def main():
     out = {"metric": "hmc_samples_per_sec_per_chip",
            "platform": platform, "params": src,
            "frames": T, "lat_dim": ld, "n_leapfrog": args.n_leapfrog,
+           "n_warmup_da": args.warmup, "target_accept": args.target_accept,
            "value": best["samples_per_sec_per_chip"],
            "best_chains": best["chains"], "best_mode": best_mode,
            "sweep": sweeps}

