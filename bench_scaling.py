@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--frames", type=int, default=40,
                     help="utterance length (frames) for the target")
     ap.add_argument("--chains-per-device", type=int, default=1)
+    ap.add_argument("--full-mesh-only", action="store_true",
+                    help="measure only the full global mesh (required under "
+                         "launch_multihost: sub-meshes would leave some "
+                         "processes without addressable devices)")
+    ap.add_argument("--out", default="BENCH_SCALING.json")
     args = ap.parse_args()
 
     import jax
@@ -106,7 +111,10 @@ def main():
         assert bool(jnp.isfinite(jnp.sum(s))), "non-finite samples"
         return C * iters_per_chain / dt
 
-    n_dev_all = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    if args.full_mesh_only:
+        n_dev_all = [len(jax.devices())]
+    else:
+        n_dev_all = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
     n_max = n_dev_all[-1]
 
     # --- fixed total work: C_total chains on 1 device vs sharded over N ---
@@ -142,6 +150,7 @@ def main():
             "hmc": hcfg._asdict(),
         },
         "platform": jax.devices()[0].platform,
+        "processes": jax.process_count(),
         "virtual_devices_share_host_cores": on_cpu,
         "host_cores": os.cpu_count(),
         "fixed_work": fixed,
@@ -150,9 +159,10 @@ def main():
                  "physical cores; fixed_work isolates sharding-path overhead "
                  "(per-step collective volume: O(1) scalars per chain)"),
     }
-    with open("BENCH_SCALING.json", "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote BENCH_SCALING.json")
+    if jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", args.out)
 
 
 if __name__ == "__main__":

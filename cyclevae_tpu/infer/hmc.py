@@ -239,4 +239,15 @@ def hmc_sample_sharded(mesh, key, logjoint, z0_chains,
     # over the mesh axis from inside vmap; the collective itself is fine
     fn = jax.shard_map(local, mesh=mesh, in_specs=(P("dp"), P("dp")),
                        out_specs=(P("dp"), P()), check_vma=False)
+    # multi-process mesh (launch_multihost): inputs must be GLOBAL arrays —
+    # each process contributes its addressable shards of the same host value
+    if not all(d.process_index == jax.process_index()
+               for d in mesh.devices.flat):
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import _put_global
+
+        sh = NamedSharding(mesh, P("dp"))
+        keys = _put_global(jax.device_get(keys), sh)
+        z0_chains = _put_global(jax.device_get(z0_chains), sh)
     return fn(keys, z0_chains)

@@ -186,12 +186,21 @@ def run_stages(stages: str, exp: ExperimentConfig, paths: RecipePaths,
     if "4" in stages:
         from .train_stage import run_train
         tl = train_lists()
+        # CYCLEVAE_N_EVAL truncates the per-speaker eval lists — used by
+        # tools/ref_headtohead.py to keep the reference trainer's per-epoch
+        # eval cost sane over updates-matched schedules (the reference has
+        # no eval-subset knob; both sides must see the SAME eval files)
+        n_eval = int(os.environ.get("CYCLEVAE_N_EVAL", "0"))
+        eval_src = paths.h5s(spk_src, True)
+        eval_trg = paths.h5s(spk_trg, True)
+        if n_eval > 0:
+            eval_src, eval_trg = eval_src[:n_eval], eval_trg[:n_eval]
         summary = run_train(
             exp,
             feats_src=tl["train_src"], feats_src_pair=tl["train_src_pair"],
             feats_trg=tl["train_trg"], feats_trg_pair=tl["train_trg_pair"],
-            feats_eval_src=paths.h5s(spk_src, True),
-            feats_eval_trg=paths.h5s(spk_trg, True),
+            feats_eval_src=eval_src,
+            feats_eval_trg=eval_trg,
             stats_src=paths.stats(spk_src), stats_trg=paths.stats(spk_trg),
             stats_jnt=paths.stats_jnt(), expdir=expdir,
             resume=exp.train.resume)
