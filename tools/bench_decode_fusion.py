@@ -43,7 +43,12 @@ def main(ckpt_path: str, model_json: str, T: int = 600, K: int = 10):
     cfg = model_config(exp)
     codec = Codec(params, cfg)
 
-    rtt = 0.026 if jax.devices()[0].platform != "cpu" else 0.0
+    # MEASURE the per-sync round trip rather than assuming the historical
+    # 26 ms: tunnel sessions vary (a reattached terminal measured 0.1 ms),
+    # and with 8 synced calls per sequential pair a stale constant
+    # over-subtracts ~200 ms and flips the A/B verdict.
+    from bench import measure_rtt
+    rtt = measure_rtt(jax, jnp)
     rng = np.random.default_rng(0)
     feat = rng.normal(size=(T, cfg.in_dim)).astype(np.float32)
     feat_trg = rng.normal(size=(T - 40, cfg.in_dim)).astype(np.float32)
@@ -55,7 +60,8 @@ def main(ckpt_path: str, model_json: str, T: int = 600, K: int = 10):
     for _ in range(K):
         out = device_decode_pair(codec, key, feat, feat_trg)
     _ = np.asarray(out[2])
-    fused = max((time.time() - t0 - rtt) / K, 1e-9)
+    # each device_decode_pair syncs twice (encode_mean, decode_batch)
+    fused = max((time.time() - t0) / K - 2 * rtt, 1e-9)
 
     # --- sequential path (reference structure) ---
     def seq_pair():

@@ -33,7 +33,10 @@ def main(B: int = 64, K: int = 10):
                                        segment_loss)
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    rtt = 0.026 if on_tpu else 0.0
+    # measure the per-sync round trip (sessions vary 0.1-26 ms; a stale
+    # constant corrupts the subtraction both ways)
+    from bench import measure_rtt
+    rtt = measure_rtt(jax, jnp) if on_tpu else 0.0
     cfg = CycleVAEConfig(use_pallas=True, compute_dtype="bfloat16") \
         if on_tpu else CycleVAEConfig(hidden_units=64)
     S, n_segs = 80, 2
