@@ -153,18 +153,33 @@ def smc_smoothed_trajectories(info: dict):
 
 def make_decoder_ssm(params, cfg, feats, spk_code, obs_scale: float = 1.0,
                      proposal: str = "prior",
-                     enc_lat: "jnp.ndarray" = None):
+                     enc_lat: "jnp.ndarray" = None,
+                     guide_weight: float = 1.0):
     """(init, propagate, log_weight) for SMC over the decoder's frame latents.
 
     Each particle state: {z_t, gru hidden h (L, H), AR feedback y, out_t}.
 
     proposal="prior": bootstrap filter, z_t ~ N(0, I).
-    proposal="amortized": GUIDED filter — z_t drawn from the amortized
-    encoder posterior q(z_t | x) = N(mu_t, sigma_t) (pass ``enc_lat`` =
-    encoder output (T, 2*lat)); the weight carries the importance correction
-    log N(z; 0, I) - log q(z).  The trained encoder concentrates proposals
-    where the decoder explains the frame, raising ESS by orders of magnitude
-    over the prior proposal.
+    proposal="amortized": GUIDED filter — z_t drawn from a tempered version
+    of the amortized encoder posterior q(z_t | x) = N(mu_t, sigma_t^2) (pass
+    ``enc_lat`` = encoder output (T, 2*lat)); the weight carries the
+    importance correction log N(z; 0, I) - log proposal(z).
+    ``guide_weight`` w in (0, 1] tempers the guide toward the prior:
+    proposal = N(w*mu_t, w*sigma_t^2 + (1-w)) — w=1 is the raw encoder
+    posterior, w->0 recovers the bootstrap filter.
+
+    Measured behaviour (DIAG_SMC_AMORTIZED*.json, trained hu1024 flagship):
+    on IN-DISTRIBUTION features at the true observation scale the raw guide
+    (w=1) improves the log-marginal estimate (lower weight variance overall)
+    but LOWERS per-step ESS — the per-frame importance correction adds
+    incremental-weight variance that the likelihood gain does not fully
+    absorb, and the SSM's center-tap conv approximation means q was trained
+    against a slightly different decoder than the one weighting it.  On
+    out-of-distribution input (e.g. synthetic test signals) the guide pays
+    KL(q||prior) that can reach ~14 nats/frame with no compensating
+    likelihood gain and the filter degenerates — use the prior proposal, or
+    temper with small w, when the observation sequence is not from the
+    training distribution.
     """
     from ..models.layers import dilconv_effective, window_gather
     from ..ops.gru_scan import _gru_cell
@@ -193,8 +208,10 @@ def make_decoder_ssm(params, cfg, feats, spk_code, obs_scale: float = 1.0,
 
     if proposal == "amortized":
         assert enc_lat is not None, "amortized proposal needs enc_lat"
-        q_mu = enc_lat[..., :lat_dim]
-        q_logvar = enc_lat[..., lat_dim:]
+        w = guide_weight
+        q_mu = w * enc_lat[..., :lat_dim]
+        # tempered variance: w*sigma^2 + (1-w), in log space for the draw
+        q_logvar = jnp.log(w * jnp.exp(enc_lat[..., lat_dim:]) + (1.0 - w))
 
     def init(key):
         state = {

@@ -60,8 +60,9 @@ def main(ckpt_path: str, model_json: str, T: int = 600, K: int = 10):
     for _ in range(K):
         out = device_decode_pair(codec, key, feat, feat_trg)
     _ = np.asarray(out[2])
-    # each device_decode_pair syncs twice (encode_mean, decode_batch)
-    fused = max((time.time() - t0) / K - 2 * rtt, 1e-9)
+    # each device_decode_pair makes 3 synced host fetches: encode_mean pulls
+    # lat and z separately (decode.py:175) and decode_batch pulls the stack
+    fused = max((time.time() - t0) / K - 3 * rtt, 1e-9)
 
     # --- sequential path (reference structure) ---
     def seq_pair():
@@ -78,7 +79,9 @@ def main(ckpt_path: str, model_json: str, T: int = 600, K: int = 10):
     t0 = time.time()
     for _ in range(K):
         a, b, c = seq_pair()
-    seq = max((time.time() - t0) / K - 8 * rtt, 1e-9)     # 8 synced calls
+    # 7 synced fetches: 2 encode + 2 latent_mean + 3 decode (one np.asarray
+    # each, decode.py:141-153)
+    seq = max((time.time() - t0) / K - 7 * rtt, 1e-9)
 
     print(json.dumps({
         "metric": "stage6_device_path_ms_per_pair",

@@ -9,10 +9,16 @@ particle, one decoder GRU step + Laplace observation weight per frame;
 particles ride the vmapped batch axis and fill the MXU tile) and reports
 particle-steps/s/chip = n_particles * T / filter_wall_time.
 
-Both proposals are swept: "prior" (bootstrap) and "amortized" (encoder-
-guided, the quality configuration — its importance correction changes the
-weights, not the per-step FLOPs).  ESS and resample rate come along so the
-throughput number is quality-annotated.
+Proposals swept: "prior" (bootstrap), "amortized" (raw encoder guide, w=1)
+and "amortized_w0.5" (tempered guide — the quality configuration: on
+in-distribution features at obs_scale=1 it beats bootstrap on BOTH
+log-marginal and ESS, see DIAG_SMC_AMORTIZED*.json and RESULTS.md [r5]).
+The importance correction changes the weights, not the per-step FLOPs.
+ESS and resample rate come along so the throughput number is
+quality-annotated.  Features default to a REAL utterance when the work dir
+exists (the encoder guide is only meaningful in-distribution; the r4 run's
+synthetic sinusoids put the encoder ~14 nats/frame OOD and degenerated the
+guided filter — VERDICT r4 weak #2, diagnosed in tools/diag_smc_amortized.py).
 
 Run ON the TPU (default platform).  Writes BENCH_SMC_PARTICLES.json.
 
@@ -40,7 +46,11 @@ def main():
     ap.add_argument("--particles", type=int, nargs="+",
                     default=[256, 512, 1024, 2048, 4096])
     ap.add_argument("--proposals", nargs="+",
-                    default=["prior", "amortized"])
+                    default=["prior", "amortized", "amortized_w0.5"])
+    ap.add_argument("--obs-scale", type=float, default=1.0)
+    ap.add_argument("--real", default="/tmp/vcwork5/hdf5/VCC2SF1/10001.h5",
+                    help="h5 with feat_org_lf0 for in-distribution features; "
+                         "'none' or missing file falls back to synthetic")
     ap.add_argument("--reps", type=int, default=3,
                     help="timed filter repetitions (min taken)")
     ap.add_argument("--out", default="BENCH_SMC_PARTICLES.json")
@@ -72,12 +82,22 @@ def main():
         src = "fresh-init"
 
     T = args.frames
-    rng = np.random.default_rng(0)
-    t = np.arange(T)[:, None]
-    feats = jnp.asarray(
-        (np.sin(t * 0.05 + np.arange(54)[None, :])
-         + 0.1 * rng.normal(size=(T, 54))).astype(np.float32))
-    code = jnp.asarray(np.tile([0.0, 1.0], (T, 1)).astype(np.float32))
+    if args.real != "none" and os.path.exists(args.real):
+        import h5py
+        with h5py.File(args.real, "r") as h:
+            raw = np.asarray(h["feat_org_lf0"], np.float32)
+        assert raw.shape[0] >= T, (raw.shape, T)
+        feats = jnp.asarray(raw[:T])
+        code = jnp.asarray(np.tile([1.0, 0.0], (T, 1)).astype(np.float32))
+        data_src = os.path.basename(args.real)
+    else:
+        rng = np.random.default_rng(0)
+        t = np.arange(T)[:, None]
+        feats = jnp.asarray(
+            (np.sin(t * 0.05 + np.arange(54)[None, :])
+             + 0.1 * rng.normal(size=(T, 54))).astype(np.float32))
+        code = jnp.asarray(np.tile([0.0, 1.0], (T, 1)).astype(np.float32))
+        data_src = "synthetic-sin"
 
     # amortized proposal: encoder posterior over the same utterance
     enc_lat, _, _ = gru_rnn_apply(
@@ -87,9 +107,14 @@ def main():
 
     sweeps = {}
     for proposal in args.proposals:
+        guide_w = 1.0
+        kind = proposal
+        if proposal.startswith("amortized_w"):
+            kind, guide_w = "amortized", float(proposal[len("amortized_w"):])
         init, prop, logw = make_decoder_ssm(
-            params, cfg, feats, code, obs_scale=50.0, proposal=proposal,
-            enc_lat=enc_lat if proposal == "amortized" else None)
+            params, cfg, feats, code, obs_scale=args.obs_scale, proposal=kind,
+            enc_lat=enc_lat if kind == "amortized" else None,
+            guide_weight=guide_w)
         rows = []
         for N in args.particles:
             scfg = SMCConfig(n_particles=N)
@@ -126,6 +151,7 @@ def main():
     best_prop = next(p for p, rows in sweeps.items() if best in rows)
     out = {"metric": "smc_particle_steps_per_sec_per_chip",
            "platform": platform, "params": src, "frames": T,
+           "data": data_src, "obs_scale": args.obs_scale,
            "value": best["particle_steps_per_sec_per_chip"],
            "best_particles": best["particles"], "best_proposal": best_prop,
            "sweep": sweeps}

@@ -45,6 +45,9 @@ def main(path: str) -> None:
     cfg = d["config"]
     cfg.setdefault("n_eval", 0)
     cfg.setdefault("ref_epochs", "?")
+    assert (2 * cfg["n_train"]) % cfg["batch_size_utt"] == 0, (
+        "batch_size_utt must divide 2*n_train or the updates-matched epoch "
+        "mapping drifts (floor truncation)")
     R = 2 * cfg["n_train"] // cfg["batch_size_utt"]
     ours = d["ours"]["history"]
     ref = {e["epoch"]: e for e in d.get("reference", [])}
@@ -95,17 +98,27 @@ def main(path: str) -> None:
     # from our artifact (both speakers pooled => n = 2*n_eval)
     n_utt = 2 * cfg["n_eval"] if cfg["n_eval"] else 2 * 35
     mc = ours[-1]["eval"]["mcdpow_cv_std"] / math.sqrt(n_utt)
+    # Best-criterion comparison at MATCHED granularity: ours' best over its
+    # full-pass evals vs the reference's best over the R-epoch BLOCK MEANS
+    # covering the same update ranges.  Minimizing the reference over all
+    # single-batch snapshots (16x more, much noisier draws) would bias it
+    # low — we report that raw min too, but the call uses block means.
     o_best = min(r[5] for r in rows)
-    r_best = min(ref_criterion(x) for x in ref.values())
+    r_best_block = min(r[6] for r in rows)
+    r_best_snap = min(ref_criterion(x) for x in ref.values())
     print(f"\nsecond-half trajectory deltas (ours - ref): "
           f"rec {mean_d_rec:+.3f} dB, cv {mean_d_cv:+.3f} dB "
           f"(per-epoch Monte-Carlo scale ±{mc:.3f} dB at n={n_utt} utts)")
-    print(f"best criterion: ours {o_best:.3f} vs ref {r_best:.3f} "
-          f"({o_best - r_best:+.3f})")
-    call = "PASS" if (mean_d_cv <= 2 * mc + 1e-9) else (
-        "PASS (ours better)" if mean_d_cv < 0 else "FAIL")
+    print(f"best criterion (matched granularity): ours {o_best:.3f} vs ref "
+          f"block-mean {r_best_block:.3f} ({o_best - r_best_block:+.3f}); "
+          f"[ref raw single-batch-snapshot min {r_best_snap:.3f} — noisier, "
+          f"biased low, not comparable]")
     if mean_d_cv < -2 * mc:
         call = "PASS (ours strictly better)"
+    elif mean_d_cv <= 2 * mc + 1e-9:
+        call = "PASS"
+    else:
+        call = "FAIL"
     print(f"parity call (cv MCD within 2x MC error, or better): {call}")
 
 
