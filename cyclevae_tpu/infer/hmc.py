@@ -172,23 +172,42 @@ def hmc_sample_batch(key, logjoint_batch, z0_chains,
     da0 = da_init(cfg.step_size)
     inv_mass0 = jnp.ones_like(z0_chains[0])
 
-    def warmup_body(carry, key):
-        z, da, w_sum, w2_sum, n = carry
-        z, acc = one_step(z, key, jnp.exp(da.log_step), inv_mass0)
-        da = da_update(da, jnp.mean(acc), target=cfg.target_accept)
-        return (z, da, w_sum + z, w2_sum + z ** 2, n + 1), acc
+    def make_warmup_body(inv_mass):
+        def warmup_body(carry, key):
+            z, da, w_sum, w2_sum, n = carry
+            z, acc = one_step(z, key, jnp.exp(da.log_step), inv_mass)
+            da = da_update(da, jnp.mean(acc), target=cfg.target_accept)
+            return (z, da, w_sum + z, w2_sum + z ** 2, n + 1), acc
+        return warmup_body
 
     keys = jax.random.split(key, cfg.n_warmup + cfg.n_samples + 1)
-    (z, da, w_sum, w2_sum, n), warm_acc = jax.lax.scan(
-        warmup_body,
-        (z0_chains, da0, jnp.zeros_like(z0_chains), jnp.zeros_like(z0_chains),
-         0.0), keys[:cfg.n_warmup])
-    step_size = da_final(da)
     if cfg.adapt_mass:
-        # cross-chain pooled posterior variance as the diagonal inverse mass
+        # Windowed warmup (Stan-style): phase 1 dual-averages the step size
+        # under the identity metric while collecting posterior moments;
+        # the diagonal inverse mass is set from the pooled cross-chain
+        # variance; phase 2 then RE-adapts the step size under the new
+        # metric (a step size tuned for the identity mass is wrong once the
+        # metric changes — the r4 sweep's flat ESS came from exactly that).
+        n1 = cfg.n_warmup // 2
+        (z, da, w_sum, w2_sum, n), warm_acc1 = jax.lax.scan(
+            make_warmup_body(inv_mass0),
+            (z0_chains, da0, jnp.zeros_like(z0_chains),
+             jnp.zeros_like(z0_chains), 0.0), keys[:n1])
         var = jnp.mean(w2_sum / n - (w_sum / n) ** 2, axis=0)
         inv_mass = jnp.maximum(var, 1e-3)
+        da1 = da_init(da_final(da))
+        (z, da, _, _, _), warm_acc2 = jax.lax.scan(
+            make_warmup_body(inv_mass),
+            (z, da1, jnp.zeros_like(z), jnp.zeros_like(z), 0.0),
+            keys[n1:cfg.n_warmup])
+        warm_acc = jnp.concatenate([warm_acc1, warm_acc2])
+        step_size = da_final(da)
     else:
+        (z, da, w_sum, w2_sum, n), warm_acc = jax.lax.scan(
+            make_warmup_body(inv_mass0),
+            (z0_chains, da0, jnp.zeros_like(z0_chains),
+             jnp.zeros_like(z0_chains), 0.0), keys[:cfg.n_warmup])
+        step_size = da_final(da)
         inv_mass = inv_mass0
 
     def sample_body(z, key):

@@ -216,6 +216,11 @@ def nuts_kernel_batch(key, logjoint_batch, z, step_size, inv_mass,
         "accept_stat": c.sum_alpha / jnp.maximum(c.n_alpha, 1.0),  # (C,)
         "diverged": c.diverged,
         "n_leapfrog": c.n_alpha,
+        # chain hit max_depth without a U-turn/divergence terminating its
+        # trajectory — the transition was effectively fixed-length HMC; a
+        # high rate means max_depth (or the metric) is too small for the
+        # posterior at the adapted step size
+        "saturated": jnp.logical_not(c.done),
     }
     return c.z_prop, stats
 
@@ -231,31 +236,44 @@ def nuts_sample_batch(
     da0 = da_init(cfg.step_size)
     inv_mass0 = jnp.ones_like(z0_chains[0])
 
-    def warmup_body(carry, key):
-        z, da, w_sum, w2_sum, n = carry
-        z, stats = nuts_kernel_batch(key, logjoint_batch, z,
-                                     jnp.exp(da.log_step), inv_mass0, cfg)
-        da = da_update(da, jnp.mean(stats["accept_stat"]),
-                       target=cfg.target_accept)
-        return (z, da, w_sum + z, w2_sum + z ** 2, n + 1), stats["accept_stat"]
+    def make_warmup_body(inv_mass):
+        def warmup_body(carry, key):
+            z, da, w_sum, w2_sum, n = carry
+            z, stats = nuts_kernel_batch(key, logjoint_batch, z,
+                                         jnp.exp(da.log_step), inv_mass, cfg)
+            da = da_update(da, jnp.mean(stats["accept_stat"]),
+                           target=cfg.target_accept)
+            return ((z, da, w_sum + z, w2_sum + z ** 2, n + 1),
+                    stats["accept_stat"])
+        return warmup_body
 
+    # Windowed warmup (same scheme as hmc.hmc_sample_batch): phase 1 adapts
+    # the step size under the identity metric and collects moments, the
+    # pooled cross-chain variance becomes the diagonal inverse mass, and
+    # phase 2 re-adapts the step size under the new metric.
     keys = jax.random.split(key, cfg.n_warmup + cfg.n_samples + 1)
-    (z, da, w_sum, w2_sum, n), warm_acc = jax.lax.scan(
-        warmup_body,
+    n1 = cfg.n_warmup // 2
+    (z, da, w_sum, w2_sum, n), warm_acc1 = jax.lax.scan(
+        make_warmup_body(inv_mass0),
         (z0_chains, da0, jnp.zeros_like(z0_chains),
-         jnp.zeros_like(z0_chains), 0.0), keys[:cfg.n_warmup])
-    step_size = da_final(da)
+         jnp.zeros_like(z0_chains), 0.0), keys[:n1])
     var = jnp.mean(w2_sum / n - (w_sum / n) ** 2, axis=0)
     inv_mass = jnp.maximum(var, 1e-3)
+    (z, da, _, _, _), warm_acc2 = jax.lax.scan(
+        make_warmup_body(inv_mass),
+        (z, da_init(da_final(da)), jnp.zeros_like(z), jnp.zeros_like(z), 0.0),
+        keys[n1:cfg.n_warmup])
+    warm_acc = jnp.concatenate([warm_acc1, warm_acc2])
+    step_size = da_final(da)
 
     def sample_body(z, key):
         z, stats = nuts_kernel_batch(key, logjoint_batch, z, step_size,
                                      inv_mass, cfg)
         return z, (z, stats["accept_stat"], stats["diverged"],
-                   stats["n_leapfrog"])
+                   stats["n_leapfrog"], stats["saturated"])
 
-    z, (samples, acc, div, n_lf) = jax.lax.scan(sample_body, z,
-                                                keys[cfg.n_warmup:-1])
+    z, (samples, acc, div, n_lf, sat) = jax.lax.scan(sample_body, z,
+                                                     keys[cfg.n_warmup:-1])
     info = {
         "accept_stat": jnp.mean(acc),
         "warmup_accept_stat": jnp.mean(warm_acc),
@@ -265,5 +283,8 @@ def nuts_sample_batch(
         # mean LIVE leapfrogs per chain per transition (tree depth is
         # data-dependent; benches use this to report grad-evals/s)
         "mean_leapfrog": jnp.mean(n_lf),
+        # fraction of (chain, iteration) transitions that hit max_depth
+        # without the U-turn criterion terminating the trajectory
+        "saturation_rate": jnp.mean(sat.astype(jnp.float32)),
     }
     return samples, info

@@ -64,6 +64,13 @@ def main():
     ap.add_argument("--mode", choices=["f32", "fast", "both"], default="both",
                     help="decoder path: f32 XLA scan, bf16 fused Pallas "
                          "(custom-VJP grads), or sweep both")
+    ap.add_argument("--adapt-mass", choices=["on", "off", "both"],
+                    default="both",
+                    help="VERDICT r4 weak #4: A/B the windowed diagonal "
+                         "mass adaptation (phase-1 DA under identity mass, "
+                         "mass from pooled warmup variance, phase-2 step-"
+                         "size re-adaptation under the new metric) against "
+                         "identity mass; ESS/s is the honest currency")
     ap.add_argument("--out", default="BENCH_HMC_CHAINS.json")
     args = ap.parse_args()
 
@@ -104,10 +111,9 @@ def main():
 
     feats_d, code_d = jnp.asarray(feats), jnp.asarray(spk_code)
 
-    hmc_cfg = HMCConfig(step_size=0.02, n_leapfrog=args.n_leapfrog,
-                        n_warmup=args.warmup, n_samples=args.iters,
-                        target_accept=args.target_accept, adapt_mass=True)
-    total_iters = hmc_cfg.n_warmup + hmc_cfg.n_samples
+    mass_settings = {"on": [True], "off": [False],
+                     "both": [True, False]}[args.adapt_mass]
+    total_iters = args.warmup + args.iters
 
     from dataclasses import replace as dc_replace
 
@@ -117,7 +123,7 @@ def main():
     if args.mode != "both":
         modes = {args.mode: modes[args.mode]}
 
-    def make_run(cfg_m):
+    def make_run(cfg_m, hmc_cfg):
         # params ride as a jit ARGUMENT, not a closure: closed-over small
         # param leaves (scale_out stats) inline as HLO literals, and with
         # real (non-zero/one) values the folded program crashes the v5e
@@ -160,43 +166,54 @@ def main():
 
     sweeps = {}
     for mode, cfg_m in modes.items():
-        run = make_run(cfg_m)
         rows = []
-        for C in args.chains:
-            z0 = jnp.asarray(
-                rng.normal(size=(C, T, ld)).astype(np.float32) * 0.1)
-            key = jax.random.PRNGKey(C)
-            tr, acc, ss = run(params, key, z0)  # compile + first run
-            jax.block_until_ready(tr)
-            t0 = time.perf_counter()
-            tr, acc, ss = run(params, key, z0)
-            jax.block_until_ready(tr)
-            dt = time.perf_counter() - t0
-            per_iter = dt / total_iters
-            sps = C / per_iter
-            ef = ess_fraction(np.asarray(tr))
-            grad_evals = C * 2 * args.n_leapfrog / per_iter
-            rows.append({"chains": C, "iter_ms": per_iter * 1e3,
-                         "samples_per_sec_per_chip": round(sps, 1),
-                         "accept": round(float(acc), 3),
-                         "da_step_size": round(float(ss), 5),
-                         "ess_fraction": round(ef, 3),
-                         "ess_per_sec_per_chip": round(sps * ef, 1),
-                         "grad_evals_per_sec": round(grad_evals, 1)})
-            print(f"[{mode}] C={C:4d}  {per_iter*1e3:8.2f} ms/iter  "
-                  f"{sps:10.1f} samples/s/chip  accept={float(acc):.3f}  "
-                  f"eps={float(ss):.4f}  ESS/s={sps*ef:.1f}")
+        for adapt_mass in mass_settings:
+            hmc_cfg = HMCConfig(step_size=0.02, n_leapfrog=args.n_leapfrog,
+                                n_warmup=args.warmup, n_samples=args.iters,
+                                target_accept=args.target_accept,
+                                adapt_mass=adapt_mass)
+            run = make_run(cfg_m, hmc_cfg)
+            for C in args.chains:
+                z0 = jnp.asarray(
+                    rng.normal(size=(C, T, ld)).astype(np.float32) * 0.1)
+                key = jax.random.PRNGKey(C)
+                tr, acc, ss = run(params, key, z0)  # compile + first run
+                jax.block_until_ready(tr)
+                t0 = time.perf_counter()
+                tr, acc, ss = run(params, key, z0)
+                jax.block_until_ready(tr)
+                dt = time.perf_counter() - t0
+                per_iter = dt / total_iters
+                sps = C / per_iter
+                ef = ess_fraction(np.asarray(tr))
+                grad_evals = C * 2 * args.n_leapfrog / per_iter
+                rows.append({"chains": C, "adapt_mass": adapt_mass,
+                             "iter_ms": per_iter * 1e3,
+                             "samples_per_sec_per_chip": round(sps, 1),
+                             "accept": round(float(acc), 3),
+                             "da_step_size": round(float(ss), 5),
+                             "ess_fraction": round(ef, 3),
+                             "ess_per_sec_per_chip": round(sps * ef, 1),
+                             "grad_evals_per_sec": round(grad_evals, 1)})
+                print(f"[{mode}] mass={'Y' if adapt_mass else 'n'} "
+                      f"C={C:4d}  {per_iter*1e3:8.2f} ms/iter  "
+                      f"{sps:10.1f} samples/s/chip  accept={float(acc):.3f}  "
+                      f"eps={float(ss):.4f}  ESS/s={sps*ef:.1f}")
         sweeps[mode] = rows
 
     all_rows = [r for rows in sweeps.values() for r in rows]
     best = max(all_rows, key=lambda r: r["samples_per_sec_per_chip"])
     best_mode = next(m for m, rows in sweeps.items() if best in rows)
+    best_ess = max(all_rows, key=lambda r: r["ess_per_sec_per_chip"])
     out = {"metric": "hmc_samples_per_sec_per_chip",
            "platform": platform, "params": src,
            "frames": T, "lat_dim": ld, "n_leapfrog": args.n_leapfrog,
            "n_warmup_da": args.warmup, "target_accept": args.target_accept,
            "value": best["samples_per_sec_per_chip"],
            "best_chains": best["chains"], "best_mode": best_mode,
+           "best_ess_per_sec_per_chip": best_ess["ess_per_sec_per_chip"],
+           "best_ess_row": {k: best_ess[k] for k in
+                            ("chains", "adapt_mass", "accept")},
            "sweep": sweeps}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
