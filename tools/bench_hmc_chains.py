@@ -174,6 +174,11 @@ def main():
                                 adapt_mass=adapt_mass)
             run = make_run(cfg_m, hmc_cfg)
             for C in args.chains:
+                if mode == "f32" and C > 256 and platform != "cpu":
+                    # f32 at C=512 reproducibly faults the v5e device
+                    # (UNAVAILABLE kernel fault; bf16 C=512 is fine)
+                    print(f"[{mode}] C={C}: skipped (known device fault)")
+                    continue
                 z0 = jnp.asarray(
                     rng.normal(size=(C, T, ld)).astype(np.float32) * 0.1)
                 key = jax.random.PRNGKey(C)
