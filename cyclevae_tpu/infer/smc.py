@@ -168,18 +168,18 @@ def make_decoder_ssm(params, cfg, feats, spk_code, obs_scale: float = 1.0,
     proposal = N(w*mu_t, w*sigma_t^2 + (1-w)) — w=1 is the raw encoder
     posterior, w->0 recovers the bootstrap filter.
 
-    Measured behaviour (DIAG_SMC_AMORTIZED*.json, trained hu1024 flagship):
-    on IN-DISTRIBUTION features at the true observation scale the raw guide
-    (w=1) improves the log-marginal estimate (lower weight variance overall)
-    but LOWERS per-step ESS — the per-frame importance correction adds
-    incremental-weight variance that the likelihood gain does not fully
-    absorb, and the SSM's center-tap conv approximation means q was trained
-    against a slightly different decoder than the one weighting it.  On
-    out-of-distribution input (e.g. synthetic test signals) the guide pays
-    KL(q||prior) that can reach ~14 nats/frame with no compensating
-    likelihood gain and the filter degenerates — use the prior proposal, or
-    temper with small w, when the observation sequence is not from the
-    training distribution.
+    Measured behaviour (DIAG_SMC_AMORTIZED*.json + RESULTS.md [r5], trained
+    hu1024 flagship): the raw guide (w=1) pays KL(q||prior) — ~2.8
+    nats/frame on real speech, up to ~14 on out-of-distribution input —
+    that the center-tap SSM's likelihood gain does not cover; it loses
+    log-marginal and ESS in every measured regime.  The TEMPERED guide
+    (w≈0.3–0.5) beats bootstrap on both metrics over short (~64-frame)
+    windows, but over long filters (T≥256) the proposal/model mismatch
+    (q was trained against the full two-sided-conv decoder, the SSM weights
+    with the center-tap approximation) compounds through the AR state and
+    the prior proposal wins by hundreds of nats.  RECOMMENDED DEFAULT:
+    proposal="prior"; use the tempered guide only for short fixed-lag
+    windows.
     """
     from ..models.layers import dilconv_effective, window_gather
     from ..ops.gru_scan import _gru_cell
