@@ -46,7 +46,10 @@ def main():
                     help="h5 with feat_org_lf0; 'none'/missing -> synthetic")
     ap.add_argument("--warmup", type=int, default=24)
     ap.add_argument("--iters", type=int, default=24)
-    ap.add_argument("--target-accept", type=float, default=0.8)
+    ap.add_argument("--target-accepts", type=float, nargs="+", default=[0.8],
+                    help="DA targets; lower targets mean bigger steps, so "
+                         "U-turns fire within fewer leapfrogs — part of "
+                         "locating a non-saturated NUTS operating point")
     ap.add_argument("--mode", choices=["f32", "fast", "both"], default="fast")
     ap.add_argument("--out", default="BENCH_NUTS.json")
     args = ap.parse_args()
@@ -106,9 +109,10 @@ def main():
     for mode, cfg_m in modes.items():
         rows = []
         for depth in args.max_depths:
+          for target in args.target_accepts:
             ncfg = NUTSConfig(step_size=0.02, max_depth=depth,
                               n_warmup=args.warmup, n_samples=args.iters,
-                              target_accept=args.target_accept)
+                              target_accept=target)
 
             @jax.jit
             def run(params, key, z0, _ncfg=ncfg, _cfg_m=cfg_m):
@@ -137,6 +141,7 @@ def main():
                 grad_evals = C * mlf / per_iter
                 rows.append({
                     "chains": C, "max_depth": depth,
+                    "target_accept": target,
                     "iter_ms": round(per_iter * 1e3, 2),
                     "samples_per_sec_per_chip": round(sps, 1),
                     "grad_evals_per_sec_per_chip": round(grad_evals, 1),
@@ -146,7 +151,7 @@ def main():
                     "accept_stat": round(acc, 3),
                     "divergence_rate": round(div, 4),
                     "da_step_size": round(ss, 5)})
-                print(f"[{mode}] d={depth:2d} C={C:4d} "
+                print(f"[{mode}] d={depth:2d} ta={target:.2f} C={C:4d} "
                       f"{per_iter*1e3:9.2f} ms/iter  {sps:8.1f} samples/s  "
                       f"{grad_evals:10.1f} grad-evals/s  lf/iter={mlf:6.1f}"
                       f"/{(1 << depth) - 1}  sat={sat:.3f}  accept={acc:.3f}")
@@ -162,7 +167,7 @@ def main():
     out = {"metric": "nuts_grad_evals_per_sec_per_chip",
            "platform": platform, "params": src, "data": data_src,
            "frames": T, "lat_dim": ld, "max_depths": args.max_depths,
-           "target_accept": args.target_accept,
+           "target_accepts": args.target_accepts,
            "value": best["grad_evals_per_sec_per_chip"],
            "best_chains": best["chains"], "best_mode": best_mode,
            "best_max_depth": best["max_depth"],
