@@ -89,6 +89,8 @@ def get_lib() -> ctypes.CDLL:
         lib.cvdsp_freqt.argtypes = [_d, c_int, c_int, c_dbl, _d]
         lib.cvdsp_mc2e.restype = None
         lib.cvdsp_mc2e.argtypes = [_d, c_int, c_int, c_dbl, c_int, _d]
+        lib.cvdsp_mc2e_direct.restype = None
+        lib.cvdsp_mc2e_direct.argtypes = [_d, c_int, c_int, c_dbl, c_int, _d]
         lib.cvdsp_mc2b.restype = None
         lib.cvdsp_mc2b.argtypes = [_d, c_int, c_int, c_dbl, _d]
         lib.cvdsp_b2mc.restype = None

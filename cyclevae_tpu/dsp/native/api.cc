@@ -134,6 +134,16 @@ void cvdsp_mc2e(const double* mc, int n_frames, int order, double alpha,
   }
 }
 
+void cvdsp_mc2e_direct(const double* mc, int n_frames, int order, double alpha,
+                       int irlen, double* out) {
+  // O(irlen^2) oracle for the FFT fast path (tests only)
+  for (int t = 0; t < n_frames; ++t) {
+    std::vector<double> row(mc + (size_t)t * (order + 1),
+                            mc + (size_t)(t + 1) * (order + 1));
+    out[t] = mc2e_direct(row, alpha, irlen);
+  }
+}
+
 void cvdsp_mc2b(const double* mc, int n_frames, int order, double alpha,
                 double* out) {
   for (int t = 0; t < n_frames; ++t) {

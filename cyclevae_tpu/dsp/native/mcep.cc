@@ -60,7 +60,28 @@ std::vector<double> mc2sp(const std::vector<double>& mc, double alpha, int fftl)
 }
 
 double mc2e(const std::vector<double>& mc, double alpha, int irlen) {
-  // unwarp cepstrum, cepstrum -> impulse response (c2ir), sum of squares.
+  // Energy of the (irlen-truncated) impulse response of exp(C(z)), computed
+  // in the frequency domain: C(omega) on a 2*irlen grid from the zero-padded
+  // unwarped cepstrum, h = irfft(exp(C)), energy = sum_{n<irlen} h^2.
+  // Equal to the O(irlen^2) c2ir recursion up to circular aliasing of the
+  // IR tail beyond 2*irlen (negligible for stable spectral envelopes, and
+  // verified against the direct recursion in tests/test_dsp.py); ~8x less
+  // work per frame — this is the stage-6 mod_pow hot path.
+  std::vector<double> c = freqt(mc, irlen - 1, -alpha);
+  const size_t N = 2 * (size_t)irlen;
+  std::vector<double> cpad(N, 0.0);
+  std::memcpy(cpad.data(), c.data(), c.size() * sizeof(double));
+  std::vector<cplx> C = rfft(cpad);
+  for (size_t i = 0; i < C.size(); ++i) C[i] = std::exp(C[i]);
+  std::vector<double> h = irfft(C, N);
+  double e = 0.0;
+  for (int n = 0; n < irlen; ++n) e += h[n] * h[n];
+  return e;
+}
+
+double mc2e_direct(const std::vector<double>& mc, double alpha, int irlen) {
+  // Reference O(irlen^2) path (unwarp, c2ir recursion, sum of squares) —
+  // kept as the oracle for the FFT fast path above.
   std::vector<double> c = freqt(mc, irlen - 1, -alpha);
   std::vector<double> h(irlen, 0.0);
   h[0] = std::exp(c[0]);

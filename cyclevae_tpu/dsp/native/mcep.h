@@ -24,6 +24,7 @@ std::vector<double> mc2sp(const std::vector<double>& mc, double alpha, int fftl)
 
 // Mel-cepstrum -> frame energy via truncated impulse response (irlen taps).
 double mc2e(const std::vector<double>& mc, double alpha, int irlen);
+double mc2e_direct(const std::vector<double>& mc, double alpha, int irlen);
 
 // Mel-cepstrum -> MLSA filter coefficients b (in place convention of SPTK mc2b).
 std::vector<double> mc2b(const std::vector<double>& mc, double alpha);

@@ -42,12 +42,25 @@ def freqt(c: np.ndarray, order: int, alpha: float) -> np.ndarray:
 
 
 def mc2e(mc: np.ndarray, alpha: float = 0.455, irlen: int = 1024) -> np.ndarray:
-    """Per-frame energy from mel-cepstra via truncated impulse response."""
+    """Per-frame energy from mel-cepstra via truncated impulse response
+    (FFT fast path; see mc2e_direct for the O(irlen^2) oracle)."""
     lib = get_lib()
     mc = as_f64(np.atleast_2d(mc))
     n_frames, order1 = mc.shape
     out = np.zeros(n_frames)
     lib.cvdsp_mc2e(mc, n_frames, order1 - 1, alpha, irlen, out)
+    return out
+
+
+def mc2e_direct(mc: np.ndarray, alpha: float = 0.455,
+                irlen: int = 1024) -> np.ndarray:
+    """Direct c2ir-recursion energy (the oracle the FFT path is tested
+    against; ~8x slower per frame)."""
+    lib = get_lib()
+    mc = as_f64(np.atleast_2d(mc))
+    n_frames, order1 = mc.shape
+    out = np.zeros(n_frames)
+    lib.cvdsp_mc2e_direct(mc, n_frames, order1 - 1, alpha, irlen, out)
     return out
 
 

@@ -317,11 +317,16 @@ def decode_pair(codec: Codec, exp: ExperimentConfig, key,
                                            mcep_trg_spc[:, 1:])
 
     # --- power correction (decode…py:406-416) ---
-    cvmcep = mod_pow(cvmcep, src["mcep"], alpha=fcfg.mcep_alpha, irlen=fcfg.irlen)
+    # mc2e of the (fixed) reference mceps is the stage-6 host hot path —
+    # compute once per side and share across all 6 mod_pow calls
+    src_e = sptk.mc2e(src["mcep"], alpha=fcfg.mcep_alpha, irlen=fcfg.irlen)
+    trg_e = sptk.mc2e(trg["mcep"], alpha=fcfg.mcep_alpha, irlen=fcfg.irlen)
+    cvmcep = mod_pow(cvmcep, src["mcep"], alpha=fcfg.mcep_alpha,
+                     irlen=fcfg.irlen, ref_e=src_e)
     cvmcep_src = mod_pow(cvmcep_src, src["mcep"], alpha=fcfg.mcep_alpha,
-                         irlen=fcfg.irlen)
+                         irlen=fcfg.irlen, ref_e=src_e)
     cvmcep_trg = mod_pow(cvmcep_trg, trg["mcep"], alpha=fcfg.mcep_alpha,
-                         irlen=fcfg.irlen)
+                         irlen=fcfg.irlen, ref_e=trg_e)
 
     # --- GV postfilter (decode…py:418-467) ---
     cvmcep_gv = gv_postfilter(cvmcep, gv["gv_mean_trg"], gv["cvgv_mean"])
@@ -330,11 +335,11 @@ def decode_pair(codec: Codec, exp: ExperimentConfig, key,
     _, _, metrics["mcd_cvgv"], _ = dtw_c.dtw_org_to_trg(
         cvmcep_gv[src["spcidx"]][:, 1:], mcep_trg_spc[:, 1:])
     cvmcep_gv = mod_pow(cvmcep_gv, src["mcep"], alpha=fcfg.mcep_alpha,
-                        irlen=fcfg.irlen)
+                        irlen=fcfg.irlen, ref_e=src_e)
     cvmcep_src_gv = mod_pow(cvmcep_src_gv, src["mcep"], alpha=fcfg.mcep_alpha,
-                            irlen=fcfg.irlen)
+                            irlen=fcfg.irlen, ref_e=src_e)
     cvmcep_trg_gv = mod_pow(cvmcep_trg_gv, trg["mcep"], alpha=fcfg.mcep_alpha,
-                            irlen=fcfg.irlen)
+                            irlen=fcfg.irlen, ref_e=trg_e)
 
     # --- differential mceps + converted F0 (decode…py:469-477) ---
     mc_cv_diff_nogv = cvmcep - src["mcep"]

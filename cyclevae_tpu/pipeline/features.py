@@ -68,11 +68,14 @@ def convert_linf0(f0: np.ndarray, f0_mean_src: float, f0_std_src: float,
 
 
 def mod_pow(cvmcep: np.ndarray, mcep: np.ndarray, alpha: float = 0.455,
-            irlen: int = 1024) -> np.ndarray:
+            irlen: int = 1024, ref_e: np.ndarray = None) -> np.ndarray:
     """Power correction: move converted mcep c0 so frame energy matches the
-    original (reference feature_extract_vc.py:131-138)."""
+    original (reference feature_extract_vc.py:131-138).  ``ref_e``: optional
+    precomputed mc2e(mcep) — decode_pair reuses the same reference energies
+    across its 6 mod_pow calls (stage-6 hot path)."""
     cv_e = sptk.mc2e(cvmcep, alpha=alpha, irlen=irlen)
-    r_e = sptk.mc2e(mcep, alpha=alpha, irlen=irlen)
+    r_e = ref_e if ref_e is not None else sptk.mc2e(mcep, alpha=alpha,
+                                                    irlen=irlen)
     dpow = np.log(r_e / cv_e) / 2
     mod_cvmcep = np.copy(cvmcep)
     mod_cvmcep[:, 0] += dpow

@@ -90,6 +90,19 @@ def test_mc2e_flat_spectrum_gain():
         assert abs(e - np.exp(2 * g)) < 1e-6
 
 
+def test_mc2e_fft_matches_direct_recursion():
+    # The FFT fast path (frequency-domain Parseval energy, 2*irlen grid)
+    # must agree with the O(irlen^2) c2ir recursion on speech-like mceps —
+    # they differ only by circular aliasing of the IR tail beyond 2*irlen.
+    rng = np.random.default_rng(11)
+    # realistic envelope scale: c0 ~ a few, higher coeffs decaying
+    mc = rng.normal(size=(8, 50)) * (0.5 / (1.0 + np.arange(50)))
+    mc[:, 0] += rng.uniform(-2.0, 4.0, size=8)
+    e_fft = sptk.mc2e(mc, alpha=0.455, irlen=1024)
+    e_dir = sptk.mc2e_direct(mc, alpha=0.455, irlen=1024)
+    np.testing.assert_allclose(e_fft, e_dir, rtol=1e-8)
+
+
 def test_mlsadf_flat_gain():
     # b == mc with only c0 set -> pure gain exp(c0)
     x = np.sin(np.arange(2000) * 0.1)
