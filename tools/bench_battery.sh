@@ -76,6 +76,10 @@ if [ "$PHASE" = "infer" ]; then
         --out BENCH_NUTS.json
     run_bench 3600 - /tmp/smc_particles_r5.out \
         python tools/bench_smc_particles.py --out BENCH_SMC_PARTICLES.json
+    # trajectory-length operating-point grid (r5: ESS/s is maximized at
+    # long trajectories once target-accept is loosened to ~0.7)
+    run_bench 3600 - /tmp/hmc_trajlen_r5.out \
+        python tools/bench_hmc_trajlen.py --out BENCH_HMC_TRAJLEN.json
 elif [ "$PHASE" = "quiet" ]; then
     pause_ref
     trap resume_ref EXIT
